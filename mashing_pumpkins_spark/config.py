@@ -1,0 +1,55 @@
+"""Sketch/pipeline configuration.
+
+The reference enforces (nsize, hashfun, seed) compatibility dynamically at
+every merge (/root/reference/src/minhashsketch.py:183-198); here the
+quadruple is a frozen job-level config whose hash is recorded in checkpoint
+manifests, so a resume with a different config is rejected once instead of
+per-merge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """Canonical config per FIXTURES.md §3 (reference defaults)."""
+
+    nsize: int = 21  # shingle width in bytes (reference tests' standard)
+    maxsize: int = 256  # sketch size k
+    hash_name: str = "xxh64"  # /root/reference/src/_xxhash.c:4 (seed 0)
+    seed: int = 0
+    minmax: str = "min"  # bottom-k MinSketch ("max" = top-k MaxSketch)
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    sketch: SketchConfig = field(default_factory=SketchConfig)
+    # LSH banding: bands x rows over the sorted bottom-k signature
+    n_bands: int = 16
+    rows_per_band: int = 16
+    jaccard_threshold: float = 0.8
+    # skew control: a band bucket with more than this many docs is salted
+    # into sub-buckets; buckets beyond hard_cap (after salting) are dropped
+    # WITH a logged metric (never silently).
+    band_group_cap: int = 2000
+    min_doc_bytes: int = 21  # docs shorter than one shingle produce no sketch
+
+    def config_hash(self) -> str:
+        payload = json.dumps(
+            {
+                "sketch": asdict(self.sketch),
+                "n_bands": self.n_bands,
+                "rows_per_band": self.rows_per_band,
+                "jaccard_threshold": self.jaccard_threshold,
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
