@@ -1,0 +1,91 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side
+Column expressions (no Python UDFs), each with an ANSI-SQL equivalent so
+the DuckDB oracle can replay them.
+
+These extend the reference's capability surface (it only hashes bytes) with
+the document-level signals a 100 TB curation pipeline needs: token counts,
+quality scores, language ID, fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une"],
+    "es": ["el", "la", "los", "las", "es", "y", "que", "para", "una"],
+}
+
+_EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "it", "on", "as", "at", "by"]
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-delimited tokens."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: runs of letters, runs of digits, and single
+    punctuation marks each count as one token."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def punctuation_ratio(text: Column) -> Column:
+    nonspace = F.regexp_replace(text, r"\s+", "")
+    punct = F.regexp_replace(nonspace, r"[A-Za-z0-9]", "")
+    return F.when(F.length(nonspace) > 0,
+                  F.length(punct).cast("double") / F.length(nonspace).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stops = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0,
+                  n_stop.cast("double") / F.size(toks).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality proxy: length band + low punctuation +
+    presence of stopwords. Deliberately simple & SQL-replayable."""
+    len_ok = (F.length(text) >= 100) & (F.length(text) <= 20000)
+    punct_ok = punctuation_ratio(text) < 0.2
+    stop_ok = stopword_ratio(text) > 0.01
+    return (
+        len_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + stop_ok.cast("double") * 0.3
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: the language whose marker-word hit count is
+    highest (ties broken by language code order); 'und' when no markers."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t, m=markers: F.array_contains(m, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text (md5 exists in both Spark and
+    DuckDB, so the oracle can replay it — unlike our xxh64 kernels)."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(F.encode(normalized, "utf-8"))

@@ -1,0 +1,63 @@
+"""Candidate-pair generation from LSH bands, with explicit skew handling.
+
+Shape of the problem at 10^12 docs: a band bucket of g members contributes
+g(g-1)/2 pairs — boilerplate-heavy buckets (the planted 150-word footer, or
+real-world chrome/templates) make g explode. AQE skew-join splitting fixes
+shuffle-partition skew but cannot fix the O(g^2) pair fan-out *inside* a
+bucket, so the cap is semantic, not physical:
+
+- buckets with size <= band_group_cap: full within-bucket pairing
+  (self-join on (band_id, band_key), url_a < url_b);
+- larger buckets: STAR linking — each member paired with the bucket's
+  minimum url only (g-1 pairs). For clique-like buckets (mass-duplicated
+  pages) connectivity through the hub survives exact verification, so the
+  final clusters are identical at O(g) cost; for boilerplate-only buckets
+  the star pairs fail verification just like the full pairing would have.
+  Never a silent drop: star-bucket count and member count are reported in
+  the stage metrics.
+
+The pair table is deduped across bands (a near-dup pair typically shares
+many bands) BEFORE the expensive signature join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+
+
+def candidate_pairs(
+    bands: DataFrame, cfg: PipelineConfig, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """bands(url, band_id, band_key) -> (pairs(url_a, url_b), skew_metrics).
+
+    skew_metrics: one row per over-cap bucket (band_id, band_key, size) —
+    the per-partition lineage record of what was star-linked.
+    """
+    sizes = bands.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("bucket_size"), F.min(url_col).alias("hub")
+    )
+    annotated = bands.join(sizes, ["band_id", "band_key"])
+
+    small = annotated.where(F.col("bucket_size") <= cfg.band_group_cap)
+    a = small.select("band_id", "band_key", F.col(url_col).alias("url_a"))
+    b = small.select("band_id", "band_key", F.col(url_col).alias("url_b"))
+    full_pairs = a.join(b, ["band_id", "band_key"]).where(
+        F.col("url_a") < F.col("url_b")
+    )
+
+    big = annotated.where(F.col("bucket_size") > cfg.band_group_cap)
+    star_pairs = big.where(F.col(url_col) != F.col("hub")).select(
+        F.least(url_col, "hub").alias("url_a"),
+        F.greatest(url_col, "hub").alias("url_b"),
+    )
+
+    pairs = (
+        full_pairs.select("url_a", "url_b").union(star_pairs).distinct()
+    )
+    skew_metrics = sizes.where(F.col("bucket_size") > cfg.band_group_cap).select(
+        "band_id", "band_key", "bucket_size"
+    )
+    return pairs, skew_metrics

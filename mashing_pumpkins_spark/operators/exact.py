@@ -1,0 +1,49 @@
+"""Exact-duplicate collapse — runs BEFORE sketching/banding.
+
+Web crawls are dominated by byte-identical duplicates; collapsing them
+first (a) removes the worst LSH skew source (an exact-dup clique of g pages
+would otherwise share ALL bands, guaranteeing over-cap buckets), and
+(b) shrinks every downstream stage by the dup factor.
+
+Content key = (byte length, xxhash64, murmur3_32) of the utf-8 text —
+~96 bits plus length; at 10^12 docs the expected number of colliding pairs
+is ~1e-5, and a collision only merges two clusters (never loses a dup
+pair). All JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def collapse_exact_duplicates(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """docs -> (reps, exact_edges).
+
+    reps: one row per distinct content (the minimum url of each content
+    group), same schema as input.
+    exact_edges: (url_a, url_b, jaccard=1.0) linking every non-representative
+    duplicate to its representative (star per content group).
+    """
+    keyed = docs.withColumn(
+        "_ck",
+        F.struct(
+            F.length(text_col).alias("len"),
+            F.xxhash64(F.encode(F.col(text_col), "utf-8")).alias("xx"),
+            F.hash(F.col(text_col)).alias("mm"),
+        ),
+    )
+    hubs = keyed.groupBy("_ck").agg(F.min(url_col).alias("_hub"))
+    with_hub = keyed.join(hubs, "_ck")
+    reps = with_hub.where(F.col(url_col) == F.col("_hub")).drop("_ck", "_hub")
+    exact_edges = (
+        with_hub.where(F.col(url_col) != F.col("_hub"))
+        .select(
+            F.least(url_col, "_hub").alias("url_a"),
+            F.greatest(url_col, "_hub").alias("url_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return reps, exact_edges

@@ -1,0 +1,132 @@
+"""End-to-end near-duplicate pipeline (SURVEY.md §2.3 stage order).
+
+    pages -> extract -> exact-dup collapse -> sketch -> bands
+          -> candidates (skew-aware) -> verify -> cluster
+
+Every stage is committed to the checkpoint store before the next starts, so
+a rerun with the same config resumes after the last committed stage. Stage
+metrics (rows, wall sec, per-partition counts) come back in the run report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.banding import band_table
+from ..operators.candidates import candidate_pairs
+from ..operators.connected_components import connected_components
+from ..operators.exact import collapse_exact_duplicates
+from ..operators.signature import sketch_table
+from ..operators.verify import verified_edges
+from .checkpoint import ParquetCheckpointStore, StageResult
+
+
+@dataclass
+class RunReport:
+    stages: list[StageResult] = field(default_factory=list)
+    cc_iterations: int = 0
+    star_buckets: int = 0
+    star_members: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "stages": [
+                {
+                    "name": s.name,
+                    "rows": s.rows,
+                    "wall_sec": round(s.wall_sec, 3),
+                    "skipped": s.skipped,
+                    "n_partitions": len(s.partition_counts),
+                }
+                for s in self.stages
+            ],
+            "cc_iterations": self.cc_iterations,
+            "star_buckets": self.star_buckets,
+            "star_members": self.star_members,
+        }
+
+
+def extract(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """pages -> docs(url, text): null/short filtering; text byte identity is
+    preserved (the column passes through untouched — the invariant the
+    oracle comparison relies on)."""
+    return pages.select("url", "text").where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "utf-8")) >= cfg.min_doc_bytes)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+) -> tuple[DataFrame, RunReport]:
+    """Returns (clusters(url, cluster_id), report). Only docs that belong to
+    some near-duplicate cluster appear; all other urls are singletons."""
+    store = ParquetCheckpointStore(checkpoint_dir, cfg.config_hash())
+    report = RunReport()
+
+    def stage(name: str, compute) -> DataFrame:
+        df, res = store.get_or_compute(spark, name, compute)
+        report.stages.append(res)
+        return df
+
+    docs = stage("extract", lambda: extract(pages, cfg))
+
+    reps_and_edges = stage(
+        "exact",
+        lambda: _exact_stage(docs),
+    )
+    reps = reps_and_edges.where(F.col("kind") == "rep").select("url", "text")
+    exact_edges = reps_and_edges.where(F.col("kind") == "edge").select(
+        F.col("url").alias("url_a"), F.col("text").alias("url_b"), F.lit(1.0).alias("jaccard")
+    )
+
+    signatures = stage("signatures", lambda: sketch_table(reps, cfg.sketch))
+    bands = stage("bands", lambda: band_table(signatures, cfg))
+
+    def _candidates():
+        pairs, skew = candidate_pairs(bands, cfg)
+        skew_rows = skew.agg(
+            F.count("*").alias("b"), F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("m")
+        ).first()
+        report.star_buckets = int(skew_rows["b"])
+        report.star_members = int(skew_rows["m"])
+        return pairs
+
+    pairs = stage("candidates", _candidates)
+    near_edges = stage(
+        "edges", lambda: verified_edges(pairs, signatures, cfg)
+    )
+    all_edges = near_edges.select("url_a", "url_b").union(
+        exact_edges.select("url_a", "url_b")
+    )
+
+    def _cluster():
+        clusters, iters = connected_components(all_edges)
+        report.cc_iterations = iters
+        return clusters
+
+    clusters = stage("clusters", _cluster)
+    return clusters, report
+
+
+def _exact_stage(docs: DataFrame) -> DataFrame:
+    """Single-parquet encoding of (reps ∪ exact edges) so the exact stage is
+    one checkpointed snapshot: kind='rep' rows carry (url, text); kind='edge'
+    rows carry (url_a, url_b) in (url, text)."""
+    reps, exact_edges = collapse_exact_duplicates(docs)
+    rep_rows = reps.select(
+        F.lit("rep").alias("kind"), F.col("url"), F.col("text")
+    )
+    edge_rows = exact_edges.select(
+        F.lit("edge").alias("kind"),
+        F.col("url_a").alias("url"),
+        F.col("url_b").alias("text"),
+    )
+    return rep_rows.union(edge_rows)

@@ -1,0 +1,184 @@
+"""End-to-end pipeline tests: recall vs oracle, CC correctness, resume, skew."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+from mashing_pumpkins_spark.functions.sketch_np import signature
+from mashing_pumpkins_spark.operators.connected_components import connected_components
+from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+from mashing_pumpkins_spark.sources.synthetic import generate_pages
+
+CFG = PipelineConfig(
+    sketch=SketchConfig(nsize=21, maxsize=256, hash_name="xxh64", seed=0),
+    n_bands=32,
+    rows_per_band=8,
+    jaccard_threshold=0.8,
+)
+
+
+def _truth_pairs(pages, cfg: PipelineConfig) -> set[tuple[str, str]]:
+    """All url pairs whose exact sketch Jaccard >= tau, via the (bit-compat
+    verified) numpy engine — the reference-semantics oracle."""
+    sigs = {}
+    for url, text in zip(pages["url"], pages["text"]):
+        s, _ = signature(text.encode("utf-8"), cfg.sketch)
+        sigs[url] = set(s.tolist())
+    truth = set()
+    urls = sorted(sigs)
+    for a, b in itertools.combinations(urls, 2):
+        sa, sb = sigs[a], sigs[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= cfg.jaccard_threshold:
+            truth.add((a, b))
+    return truth
+
+
+def test_connected_components_known_graphs(spark):
+    edges = spark.createDataFrame(
+        [
+            # chain a-b-c-d-e
+            ("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"),
+            # triangle x-y-z
+            ("x", "y"), ("y", "z"), ("z", "x"),
+            # pair
+            ("q", "p"),
+        ],
+        "url_a string, url_b string",
+    )
+    clusters, iters = connected_components(edges)
+    got = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "x": "x", "y": "x", "z": "x",
+        "p": "p", "q": "p",
+    }
+    assert iters <= 6
+
+
+def test_connected_components_two_cliques_with_bridge(spark):
+    c1 = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    c2 = [(f"m{i}", f"m{j}") for i in range(4) for j in range(i + 1, 4)]
+    bridge = [("n4", "m0")]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "url_a string, url_b string")
+    clusters, _ = connected_components(edges)
+    ids = {r["cluster_id"] for r in clusters.collect()}
+    assert ids == {"m0"}  # single component, min node id is m0
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(800, seed=42)
+
+
+def test_pipeline_recall_and_precision(spark, corpus, tmp_path_factory):
+    pages_pd, _oracle = corpus
+    pages = spark.createDataFrame(pages_pd)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_recall"))
+    clusters, report = run_pipeline(spark, pages, CFG, ckpt)
+    assign = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+
+    truth = _truth_pairs(pages_pd, CFG)
+    assert len(truth) > 50, "fixture must plant enough >=tau pairs"
+    found = sum(
+        1 for a, b in truth if assign.get(a) is not None and assign.get(a) == assign.get(b)
+    )
+    recall = found / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} on {len(truth)} truth pairs"
+
+    # precision proxy: every clustered pair that our pipeline links must be
+    # genuinely similar — spot-check co-clustered pairs against numpy jaccard
+    by_cluster: dict[str, list[str]] = {}
+    for url, cid in assign.items():
+        by_cluster.setdefault(cid, []).append(url)
+    sigs = {
+        url: set(signature(t.encode("utf-8"), CFG.sketch)[0].tolist())
+        for url, t in zip(pages_pd["url"], pages_pd["text"])
+    }
+    for cid, members in by_cluster.items():
+        # connectivity is through >=tau edges; direct pair jaccard can be
+        # lower (transitive closure), but each member must have at least one
+        # >=tau partner in its cluster
+        if len(members) < 2:
+            continue
+        for m in members:
+            best = max(
+                (
+                    len(sigs[m] & sigs[o]) / len(sigs[m] | sigs[o])
+                    for o in members
+                    if o != m and sigs[o]
+                ),
+                default=0.0,
+            )
+            assert best >= CFG.jaccard_threshold - 1e-9, (m, best)
+
+
+def test_pipeline_resume_skips_committed_stages(spark, corpus, tmp_path_factory):
+    pages_pd, _ = corpus
+    pages = spark.createDataFrame(pages_pd.head(200))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_resume"))
+    clusters1, report1 = run_pipeline(spark, pages, CFG, ckpt)
+    out1 = sorted((r["url"], r["cluster_id"]) for r in clusters1.collect())
+    assert not any(s.skipped for s in report1.stages)
+
+    # rerun: everything resumes from checkpoints, output identical
+    clusters2, report2 = run_pipeline(spark, pages, CFG, ckpt)
+    out2 = sorted((r["url"], r["cluster_id"]) for r in clusters2.collect())
+    assert all(s.skipped for s in report2.stages)
+    assert out1 == out2
+
+    # kill-after-stage-commit simulation: drop the last two stages, rerun —
+    # earlier stages stay committed, later ones recompute, output identical
+    import pathlib, shutil
+
+    for stage in ("edges", "clusters"):
+        shutil.rmtree(pathlib.Path(ckpt) / f"{stage}.parquet")
+        (pathlib.Path(ckpt) / f"{stage}.manifest.json").unlink()
+    clusters3, report3 = run_pipeline(spark, pages, CFG, ckpt)
+    out3 = sorted((r["url"], r["cluster_id"]) for r in clusters3.collect())
+    skipped = {s.name: s.skipped for s in report3.stages}
+    assert skipped["extract"] and skipped["signatures"] and skipped["bands"]
+    assert not skipped["edges"] and not skipped["clusters"]
+    assert out1 == out3
+
+    # config change invalidates resume
+    other = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=128, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+    )
+    _, report4 = run_pipeline(spark, pages, other, ckpt)
+    assert not any(s.skipped for s in report4.stages)
+
+
+def test_pipeline_skew_star_linking(spark, tmp_path_factory):
+    """300 near-identical docs (mass-template plant) with a tiny bucket cap:
+    star linking must keep them in ONE cluster and report the skew."""
+    import pandas as pd
+
+    base = " ".join(f"w{i}" for i in range(300))
+    rows = {
+        "url": [f"https://hot.example/{i:04d}" for i in range(300)],
+        "text": [base + f" uniquetail{i} x{i}" for i in range(300)],
+    }
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = PipelineConfig(
+        sketch=CFG.sketch,
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+        band_group_cap=20,
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_skew"))
+    clusters, report = run_pipeline(spark, pages, cfg, ckpt)
+    assign = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+    assert len(assign) == 300
+    assert len(set(assign.values())) == 1
+    assert report.star_buckets > 0  # skew was detected and logged, not silent
