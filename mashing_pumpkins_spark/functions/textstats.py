@@ -74,10 +74,14 @@ def language_id(text: Column) -> Column:
     """Heuristic language ID: the language whose marker-word hit count is
     highest (ties broken by language code order); 'und' when no markers."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def _contains(markers):
+        return lambda t: F.array_contains(markers, t)
+
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        score = F.size(F.filter(toks, lambda t, m=markers: F.array_contains(m, t)))
+        score = F.size(F.filter(toks, _contains(markers)))
         scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,144 @@
+"""Deduplication operator suite over a generic documents table.
+
+Five independent strategies, each a `queries()` entry with a DuckDB oracle
+where SQL can express the semantics:
+
+- exact: md5 fingerprint groups (JVM md5, SQL-replayable)
+- shingle-set Jaccard (EXACT): our sketch engine run un-truncated
+  (maxsize >> distinct shingles) so sketch Jaccard == true 21-char shingle
+  Jaccard — SQL-replayable via substring explode, a full-value oracle of
+  the sketch + estimator path
+- MinHash-estimated Jaccard at k=256 (the production path; estimate, so
+  rows-only oracle)
+- word n-gram Jaccard (SQL-replayable)
+- SimHash hamming blocking (rows-only)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from ..functions.estimators import jaccard_similarity
+from ..functions.textstats import doc_fingerprint
+from ..operators.signature import with_signature
+
+
+def exact_fingerprint_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fingerprint, group size, representative id) per distinct content."""
+    return (
+        docs.select(F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("rep_id"))
+    )
+
+
+def normalized_fingerprint_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Docs surviving normalized-fingerprint dedup (keep min id per group)."""
+    fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "fp")
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nsize: int = 21,
+    exact: bool = True,
+    maxsize: int = 256,
+) -> DataFrame:
+    """All doc pairs with (exact or MinHash-estimated) shingle Jaccard >=
+    threshold. exact=True runs the sketch un-truncated so the estimate IS
+    the true shingle-set Jaccard (SQL-oracle-able); exact=False is the
+    k=maxsize production estimate.
+
+    All-pairs via the signature join is O(n^2) — this operator is the tiny-
+    scale/verification form; the scale path is the banded pipeline
+    (plans/pipeline.py). Kept quadratic deliberately: it is the oracle.
+    """
+    cfg = SketchConfig(
+        nsize=nsize,
+        maxsize=(1 << 30) if exact else maxsize,
+        hash_name="xxh64",
+        seed=0,
+    )
+    sigs = with_signature(docs.select(id_col, text_col), cfg, text_col).select(
+        F.col(id_col), F.col("sig")
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_similarity(F.col("sig_a"), F.col("sig_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def word_ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs by word n-gram set Jaccard — pure JVM (explode + joins),
+    SQL-replayable. The shingle explode shuffles on the n-gram value, so
+    common n-grams skew; production variant would cap n-gram document
+    frequency (stop-gram removal) — applied here via a df cap of 1000."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            # guard: sequence(0, negative) would generate a DESCENDING range
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - F.lit(n)),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).distinct()
+    # stop-gram cap: drop n-grams appearing in >1000 docs (boilerplate)
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
+    grams = grams.join(df_counts.where(F.col("df") <= 1000), "g").select("id", "g")
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a = grams.select(F.col("id").alias("id_a"), "g")
+    b = grams.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
