@@ -36,6 +36,11 @@ class PipelineConfig:
     n_bands: int = 16
     rows_per_band: int = 16
     jaccard_threshold: float = 0.8
+    # banding reads only the bottom band_input_k sketch values: a KMV
+    # prefix of the sketch is itself a KMV sketch, so component-match
+    # probability is still the (sub)sketch Jaccard — at maxsize=1000 this
+    # cuts banding CPU 4x with the same S-curve
+    band_input_k: int = 256
     # skew control: a band bucket with more than this many docs is salted
     # into sub-buckets; buckets beyond hard_cap (after salting) are dropped
     # WITH a logged metric (never silently).

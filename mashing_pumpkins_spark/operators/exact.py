@@ -27,6 +27,8 @@ def collapse_exact_duplicates(
     exact_edges: (url_a, url_b, jaccard=1.0) linking every non-representative
     duplicate to its representative (star per content group).
     """
+    from pyspark.sql.window import Window
+
     keyed = docs.withColumn(
         "_ck",
         F.struct(
@@ -35,8 +37,10 @@ def collapse_exact_duplicates(
             F.hash(F.col(text_col)).alias("mm"),
         ),
     )
-    hubs = keyed.groupBy("_ck").agg(F.min(url_col).alias("_hub"))
-    with_hub = keyed.join(hubs, "_ck")
+    # hub via window min — ONE shuffle of the doc table instead of the
+    # groupBy + join-back (which shuffles the full text payload twice)
+    w = Window.partitionBy("_ck")
+    with_hub = keyed.withColumn("_hub", F.min(url_col).over(w))
     reps = with_hub.where(F.col(url_col) == F.col("_hub")).drop("_ck", "_hub")
     exact_edges = (
         with_hub.where(F.col(url_col) != F.col("_hub"))

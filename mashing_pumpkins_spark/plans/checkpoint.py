@@ -23,7 +23,6 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 @dataclass
@@ -80,18 +79,14 @@ class ParquetCheckpointStore:
             shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(str(tmp))
         schema_json = df.schema.json()
-        # lineage: per-partition row counts of the committed snapshot
-        try:
-            committed = spark.read.parquet(str(tmp))
-            pc = (
-                committed.groupBy(F.spark_partition_id().alias("pid"))
-                .count()
-                .orderBy("pid")
-                .collect()
-            )
-            partition_counts = [int(r["count"]) for r in pc]
-        except Exception:
-            partition_counts = []  # empty stage: no part files written
+        # lineage: per-partition (= per part-file) row counts straight from
+        # the parquet footers — no second Spark scan of the snapshot
+        import pyarrow.parquet as pq
+
+        partition_counts = [
+            pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(tmp.glob("part-*.parquet"))
+        ]
         rows = int(sum(partition_counts))
         if data.exists():
             shutil.rmtree(data)

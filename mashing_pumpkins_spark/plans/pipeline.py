@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from ..operators.banding import band_table
 from ..operators.candidates import candidate_pairs
-from ..operators.connected_components import connected_components
+from ..operators.connected_components import connected_components_auto
 from ..operators.exact import collapse_exact_duplicates
 from ..operators.signature import sketch_table
 from ..operators.verify import verified_edges
@@ -108,11 +108,50 @@ def run_pipeline(
     )
 
     def _cluster():
-        clusters, iters = connected_components(all_edges)
+        clusters, iters = connected_components_auto(all_edges)
         report.cc_iterations = iters
         return clusters
 
     clusters = stage("clusters", _cluster)
+    return clusters, report
+
+
+def run_pipeline_flow(
+    spark: SparkSession, pages: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, RunReport]:
+    """Checkpoint-free variant: one chained Catalyst plan from pages to
+    edges (barriers only at shuffles), then clustering. Used for throughput
+    /scaling measurement where per-stage materialization would swamp the
+    signal at sandbox scale; production runs use run_pipeline (checkpointed)
+    where stage compute dwarfs commit cost. Same operators, same results.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    report = RunReport()
+    par = spark.sparkContext.defaultParallelism * 4
+    docs = extract(pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    reps, exact_edges = collapse_exact_duplicates(docs)
+    exact_edges = exact_edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # Partitioning note: AQE's byte-based coalescing sizes partitions for
+    # IO, but the sketch/band stages are Python-UDF CPU-bound — a "small"
+    # 45MB input is minutes of kernel work. Repartition by row count so
+    # every core gets UDF work (at 100TB the byte heuristic and the CPU
+    # heuristic agree; at sandbox scale they diverge wildly).
+    reps = reps.repartition(par)
+    # signatures feed BOTH the banding branch and the two verify joins;
+    # bands feed the bucket-size agg and both self-join sides — without
+    # persists Catalyst recomputes the UDF stages once per consumer
+    signatures = sketch_table(reps, cfg.sketch).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_table(signatures, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs, _skew = candidate_pairs(bands, cfg)
+    near_edges = verified_edges(pairs, signatures, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    all_edges = near_edges.select("url_a", "url_b").union(
+        exact_edges.select("url_a", "url_b")
+    )
+    clusters, iters = connected_components_auto(all_edges)
+    report.cc_iterations = iters
     return clusters, report
 
 

@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
 from mashing_pumpkins_spark.functions.sketch_np import signature
-from mashing_pumpkins_spark.operators.connected_components import connected_components
-from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+from mashing_pumpkins_spark.operators.connected_components import (
+    connected_components,
+    connected_components_auto,
+)
+from mashing_pumpkins_spark.plans.pipeline import run_pipeline, run_pipeline_flow
 from mashing_pumpkins_spark.sources.synthetic import generate_pages
 
 CFG = PipelineConfig(
@@ -73,6 +76,23 @@ def test_connected_components_two_cliques_with_bridge(spark):
     assert ids == {"m0"}  # single component, min node id is m0
 
 
+def test_cc_driver_and_distributed_strategies_agree(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = [
+        (f"n{rng.randrange(60):03d}", f"n{rng.randrange(60):03d}") for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    via_driver, it0 = connected_components_auto(df, driver_threshold=10**9)
+    via_dist, _ = connected_components_auto(df, driver_threshold=0)
+    assert it0 == 0
+    d1 = {r["url"]: r["cluster_id"] for r in via_driver.collect()}
+    d2 = {r["url"]: r["cluster_id"] for r in via_dist.collect()}
+    assert d1 == d2
+
+
 @pytest.fixture(scope="module")
 def corpus():
     return generate_pages(800, seed=42)
@@ -118,6 +138,17 @@ def test_pipeline_recall_and_precision(spark, corpus, tmp_path_factory):
                 default=0.0,
             )
             assert best >= CFG.jaccard_threshold - 1e-9, (m, best)
+
+
+def test_flow_mode_matches_checkpointed(spark, corpus, tmp_path_factory):
+    pages_pd, _ = corpus
+    pages = spark.createDataFrame(pages_pd.head(300))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_flow_cmp"))
+    c1, _ = run_pipeline(spark, pages, CFG, ckpt)
+    c2, _ = run_pipeline_flow(spark, pages, CFG)
+    a1 = sorted((r["url"], r["cluster_id"]) for r in c1.collect())
+    a2 = sorted((r["url"], r["cluster_id"]) for r in c2.collect())
+    assert a1 == a2
 
 
 def test_pipeline_resume_skips_committed_stages(spark, corpus, tmp_path_factory):
