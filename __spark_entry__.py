@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import tempfile
 from collections.abc import Callable
+from typing import Iterator, Tuple  # noqa: F401  (resolves pandas-UDF type hints)
 
+import pandas as pd  # noqa: F401  (resolves pandas-UDF type hints)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,6 +82,127 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.8, exact=False, maxsize=256
     ).orderBy("id_a", "id_b")
+
+
+def q_similarity_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21/O22/O23: jaccard + containment + dice on near-dup pairs through
+    the un-truncated sketch path — full SQL value oracle."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.estimators import (
+        dice_similarity,
+        jaccard_containment,
+        jaccard_similarity,
+    )
+    from mashing_pumpkins_spark.operators.signature import with_signature
+
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    sigs = with_signature(
+        _docs(spark, sf_dir).select("doc_id", "text"), cfg
+    ).select("doc_id", "sig")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("sig_a"), F.col("sig_b")), 6))
+        .where(F.col("jaccard") >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(jaccard_containment(F.col("sig_a"), F.col("sig_b")), 6).alias(
+                "containment"
+            ),
+            F.round(dice_similarity(F.col("sig_a"), F.col("sig_b")), 6).alias("dice"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_shingle_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 counted sketch: per-doc shingle multiplicity stats from the
+    counted signature (un-truncated) — SQL value oracle via window counts."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.signature import make_counted_signature_udf
+
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    udf = make_counted_signature_udf(cfg)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", udf(F.col("text")).alias("cs"))
+        .select(
+            "doc_id",
+            F.size("cs.hashes").alias("distinct_shingles"),
+            F.coalesce(F.array_max("cs.counts"), F.lit(0)).alias("max_multiplicity"),
+            F.col("cs.nvisited").alias("nvisited"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bray_curtis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 Bray-Curtis dissimilarity over counted sketches for near-dup
+    pairs (documented formula, NOT the reference's key-summing bug —
+    SURVEY.md §7.3) — SQL value oracle."""
+    from typing import Iterator, Tuple
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.sketch_np import bray_curtis_dissimilarity
+    from mashing_pumpkins_spark.operators.dedup import shingle_jaccard_pairs
+    from mashing_pumpkins_spark.operators.signature import make_counted_signature_udf
+
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    docs = _docs(spark, sf_dir)
+    pairs = shingle_jaccard_pairs(docs, threshold=0.8, exact=True).select(
+        "id_a", "id_b"
+    )
+    udf = make_counted_signature_udf(cfg)
+    counted = docs.select("doc_id", udf(F.col("text")).alias("cs")).select(
+        "doc_id",
+        F.col("cs.hashes").alias("hashes"),
+        F.col("cs.counts").alias("counts"),
+    )
+
+    @F.pandas_udf(DoubleType())
+    def bc_udf(
+        cols: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for ha, ca, hb, cb in cols:
+            out = [
+                bray_curtis_dissimilarity(
+                    np.asarray(a, np.int64).view(np.uint64),
+                    np.asarray(x, np.int64),
+                    np.asarray(b, np.int64).view(np.uint64),
+                    np.asarray(y, np.int64),
+                )
+                for a, x, b, y in zip(ha, ca, hb, cb)
+            ]
+            yield pd.Series(out)
+
+    ca = counted.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hashes").alias("ha"),
+        F.col("counts").alias("ca"),
+    )
+    cb = counted.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hashes").alias("hb"),
+        F.col("counts").alias("cb"),
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(bc_udf("ha", "ca", "hb", "cb"), 6).alias("bray_curtis"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ------------------------------------------------------------ dedup family
@@ -292,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "minhash_signature": q_minhash_signature,
         "shingle_jaccard_exact": q_shingle_jaccard_exact,
+        "similarity_estimators": q_similarity_estimators,
+        "shingle_multiplicity": q_shingle_multiplicity,
+        "bray_curtis": q_bray_curtis,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
@@ -359,6 +485,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shingle_jaccard_exact": _SHINGLES_CTE
         + "select id_a, id_b, jaccard from jac where jaccard >= 0.8 order by id_a, id_b",
+        "similarity_estimators": _SHINGLES_CTE
+        + """
+        select j.id_a, j.id_b, j.jaccard,
+               round(i.i::double / x.n, 6) as containment,
+               round(2.0 * i.i / (x.n + y.n), 6) as dice
+        from jac j
+        join inter i on i.id_a = j.id_a and i.id_b = j.id_b
+        join ds x on x.doc_id = j.id_a join ds y on y.doc_id = j.id_b
+        where j.jaccard >= 0.8 order by j.id_a, j.id_b
+        """,
+        "shingle_multiplicity": """
+            with sh as (
+              select doc_id, substr(text, i, 21) as s
+              from (select doc_id, text, unnest(generate_series(1, length(text) - 20)) as i
+                    from documents where length(text) >= 21)
+            ), per as (
+              select doc_id, count(distinct s) as ds, max(c) as mx, sum(c) as nv
+              from (select doc_id, s, count(*) as c from sh group by 1, 2)
+              group by 1
+            )
+            select d.doc_id,
+                   coalesce(p.ds, 0)::int as distinct_shingles,
+                   coalesce(p.mx, 0)::bigint as max_multiplicity,
+                   coalesce(p.nv, 0)::bigint as nvisited
+            from documents d left join per p on p.doc_id = d.doc_id
+            order by d.doc_id
+        """,
+        "bray_curtis": _SHINGLES_CTE
+        + """,
+        cnt as (
+          select doc_id, s, count(*) as c
+          from sh group by 1, 2
+        ), tot as (select doc_id, sum(c) as total from cnt group by 1),
+        shared as (
+          select a.doc_id as id_a, b.doc_id as id_b,
+                 sum(least(a.c, b.c)) as cij
+          from cnt a join cnt b on a.s = b.s and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select j.id_a, j.id_b,
+               round(1.0 - 2.0 * coalesce(sh2.cij, 0) / (ta.total + tb.total), 6)
+                 as bray_curtis
+        from jac j
+        left join shared sh2 on sh2.id_a = j.id_a and sh2.id_b = j.id_b
+        join tot ta on ta.doc_id = j.id_a join tot tb on tb.doc_id = j.id_b
+        where j.jaccard >= 0.8 order by j.id_a, j.id_b
+        """,
         "dedup_exact": """
             select md5(text) as fp, count(*) as n_docs, min(doc_id) as rep_id
             from documents group by 1 order by fp

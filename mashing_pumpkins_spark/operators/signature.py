@@ -56,6 +56,37 @@ def make_signature_udf(cfg: SketchConfig):
     return signature_udf
 
 
+def make_counted_signature_udf(cfg: SketchConfig):
+    """Counted-sketch UDF: text -> struct<hashes, counts, nvisited>.
+
+    Counts are per-retained-hash sighting counts (reference CountTrait,
+    /root/reference/src/minhashsketch.py:536-565)."""
+    from ..functions.sketch_np import counted_signature
+    from ..hashkernels import u64_to_i64
+
+    schema = StructType(
+        [
+            StructField("hashes", ArrayType(LongType(), containsNull=False)),
+            StructField("counts", ArrayType(LongType(), containsNull=False)),
+            StructField("nvisited", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def counted_udf(text_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in text_iter:
+            hs, cs, nv = [], [], []
+            for t in texts.fillna(""):
+                payload = t.encode("utf-8") if isinstance(t, str) else (t or b"")
+                h, c, n = counted_signature(payload, cfg)
+                hs.append(u64_to_i64(h).tolist())
+                cs.append(c.tolist())
+                nv.append(n)
+            yield pd.DataFrame({"hashes": hs, "counts": cs, "nvisited": nv})
+
+    return counted_udf
+
+
 def with_signature(
     df: DataFrame,
     cfg: SketchConfig,

@@ -24,7 +24,7 @@ Catalyst's array_intersect is evaluated interpreted per element — measured
 from __future__ import annotations
 
 import math
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -39,7 +39,7 @@ PREFILTER_K = 256
 
 @F.pandas_udf(DoubleType())
 def _jaccard_udf(
-    pairs: Iterator[tuple[pd.Series, pd.Series]],
+    pairs: Iterator[Tuple[pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
     for a_col, b_col in pairs:
         out = np.zeros(len(a_col), dtype=np.float64)
