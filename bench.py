@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "300000"))
 
 
@@ -68,10 +68,12 @@ def _bench_corpus(n_pages: int) -> str:
     return str(marker)
 
 
-def _run_pipeline_job(spark, pages_path: str, cpus: int) -> tuple[float, int]:
+def _run_pipeline_job(spark, pages_path: str, cpus: int) -> tuple[float, int, int]:
     """One full pipeline run on a fresh checkpoint dir; returns (sec, docs)."""
     from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
     from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+
+    from pyspark.sql import functions as F
 
     cfg = PipelineConfig(
         sketch=SketchConfig(nsize=21, maxsize=256, hash_name="xxh64", seed=0),
@@ -80,14 +82,18 @@ def _run_pipeline_job(spark, pages_path: str, cpus: int) -> tuple[float, int]:
         jaccard_threshold=0.8,
     )
     pages = spark.read.parquet(pages_path).repartition(cpus * 2)
-    n_docs = pages.count()
+    stats = pages.agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(F.encode("text", "utf-8"))).alias("b"),
+    ).first()
+    n_docs, n_bytes = int(stats["n"]), int(stats["b"])
     ckpt = tempfile.mkdtemp(prefix="mp_bench_ckpt_")
     t0 = time.monotonic()
     clusters, _report = run_pipeline(spark, pages, cfg, ckpt)
     clusters.count()
     sec = time.monotonic() - t0
     shutil.rmtree(ckpt, ignore_errors=True)
-    return sec, n_docs
+    return sec, n_docs, n_bytes
 
 
 def run_default(sf_dir: str, cpus: int) -> dict:
@@ -99,9 +105,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     timings: dict[str, float] = {}
     # headline workload: the dedup pipeline on the synthetic pages corpus
     pages_path = _bench_corpus(BENCH_PAGES)
-    sec, n_docs = _run_pipeline_job(spark, pages_path, cpus)
+    sec, n_docs, n_bytes = _run_pipeline_job(spark, pages_path, cpus)
     timings["pipeline_pages"] = round(sec, 3)
     docs_per_sec = n_docs / sec
+    mb_per_sec = n_bytes / sec / 1e6
 
     bench_queries = [
         "sketch_stats",
@@ -133,6 +140,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_pages": BENCH_PAGES,
+        "pipeline_mb_per_sec": round(mb_per_sec, 3),
         "cpus": cpus,
     }
 
@@ -177,7 +185,7 @@ def run_scaling() -> dict:
             "sec": round(sec, 2),
             "docs_per_sec": round(n_docs / sec, 2),
         }
-        sec_c, _ = _run_pipeline_job(spark, pages_path, cpus)
+        sec_c, _, _ = _run_pipeline_job(spark, pages_path, cpus)
         results["checkpointed"][cpus] = {
             "sec": round(sec_c, 2),
             "docs_per_sec": round(n_docs / sec_c, 2),
