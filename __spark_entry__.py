@@ -262,6 +262,22 @@ def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.orderBy("url")
 
 
+def q_source_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11/O12/O28 merge path: per-source rolled-up sketch. Un-truncated, so
+    merged sketch size == the source's distinct-shingle count and nvisited
+    sums — full SQL value oracle of the grouped merge."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.rollup import group_sketch_rollup
+
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    rolled = group_sketch_rollup(_docs(spark, sf_dir), cfg, "source")
+    return rolled.select(
+        F.col("group").alias("source"),
+        F.size("sig").alias("distinct_shingles"),
+        F.col("nvisited").alias("nvisited"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -372,6 +388,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (spherical k-means coarse quantizer) approximate top-k — the
+    third ANN physical strategy; rows-only (approximate), recall vs exact
+    asserted in tests."""
+    from mashing_pumpkins_spark.operators.ann import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing (decode stubbed): byte-histogram features over
     the utf-8 payload of text, via mapInPandas — rows-only."""
@@ -424,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "pipeline_clusters": q_pipeline_clusters,
+        "source_sketch_rollup": q_source_sketch_rollup,
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
         "fingerprint": q_fingerprint,
@@ -432,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
     }
@@ -582,6 +613,18 @@ def oracle_sql() -> dict[str, str]:
         select lpad(id::varchar, 8, '0') as url,
                lpad(cid::varchar, 8, '0') as cluster_id
         from labels order by url
+        """,
+        "source_sketch_rollup": """
+            with sh as (
+              select doc_id, source, substr(text, i, 21) as s
+              from (select doc_id, source, text,
+                           unnest(generate_series(1, length(text) - 20)) as i
+                    from documents where length(text) >= 21)
+            )
+            select source,
+                   count(distinct s)::int as distinct_shingles,
+                   count(*)::bigint as nvisited
+            from sh group by source order by source
         """,
         "lang_id": f"""
             with toks as (

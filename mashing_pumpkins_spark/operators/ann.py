@@ -196,6 +196,94 @@ def lsh_cosine_topk(
     )
 
 
+def _spherical_kmeans(mat: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (cosine) on a driver-side sample."""
+    rng = np.random.Generator(np.random.PCG64(seed ^ 0x1CF5))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = mat / norms
+    centroids = x[rng.choice(x.shape[0], size=min(n_cells, x.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(centroids.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means coarse quantizer trained on
+    a driver-side sample; vectors assigned to their nearest cell, queries
+    probe their n_probe nearest cells; exact cosine re-rank within probed
+    cells only. The scale shape: the centroid table is tiny and broadcast,
+    the shuffle key is the cell id, and per-query work is bounded by
+    n_probe/n_cells of the corpus."""
+    spark = vectors.sparkSession
+    sample = np.array(
+        [r[0] for r in vectors.select(vec_col).limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    centroids = _spherical_kmeans(sample, n_cells, seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def make_cells_udf(top: int):
+        @F.pandas_udf(ArrayType(LongType(), containsNull=False))
+        def cells_udf(vec_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            cents = bc.value
+            for vecs in vec_iter:
+                mat = np.array(list(vecs), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (mat / norms) @ cents.T
+                order = np.argsort(-sims, axis=1)[:, :top]
+                yield pd.Series(order.astype(np.int64).tolist())
+
+        return cells_udf
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.element_at(make_cells_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(make_cells_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(v, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -107,6 +107,30 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert hits >= 9, (hits, top1)
 
 
+def test_ann_ivf_recall_on_planted_twins(spark):
+    from mashing_pumpkins_spark.operators.ann import ivf_cosine_topk
+
+    rng = np.random.default_rng(21)
+    base = _random_unit_vectors(10, 32, 21)
+    planted = base + rng.standard_normal((10, 32)) * 0.05
+    planted = planted / np.linalg.norm(planted, axis=1, keepdims=True)
+    noise = _random_unit_vectors(200, 32, 23)
+    all_vecs = np.vstack([base, planted, noise])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(all_vecs)),
+            "embedding": [v.astype(np.float32).tolist() for v in all_vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    approx = ivf_cosine_topk(
+        df, df.where(F.col("vec_id") < 10), k=3, n_cells=8, n_probe=3
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    hits = sum(1 for q in range(10) if top1.get(q) == q + 10)
+    assert hits >= 9, (hits, top1)
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [("u1", b"\x00\x10\x20\xff"), ("u2", None), ("u3", b"")],
