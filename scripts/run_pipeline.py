@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the near-duplicate pipeline.
+
+Cluster usage (the north-star deployment shape):
+
+    spark-submit --py-files mashing_pumpkins_spark.zip \\
+        scripts/run_pipeline.py \\
+        --pages /data/pages_parquet_or_iceberg_path \\
+        --checkpoint-dir /data/ckpt/run1 \\
+        --output /data/clusters \\
+        --nsize 21 --maxsize 256 --bands 32 --rows 8 --tau 0.8
+
+Sandbox smoke: spark-submit --master local[8] scripts/run_pipeline.py ...
+The job is resumable: rerunning with the same config and checkpoint dir
+skips committed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages parquet path")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--output", required=True, help="clusters output parquet path")
+    ap.add_argument("--nsize", type=int, default=21)
+    ap.add_argument("--maxsize", type=int, default=256)
+    ap.add_argument("--hash", default="xxh64", choices=["xxh64", "mmh3_x64_128_low64"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=8)
+    ap.add_argument("--tau", type=float, default=0.8)
+    ap.add_argument("--band-group-cap", type=int, default=2000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+
+    spark = SparkSession.builder.appName("mp-spark-near-dup").getOrCreate()
+    cfg = PipelineConfig(
+        sketch=SketchConfig(
+            nsize=args.nsize,
+            maxsize=args.maxsize,
+            hash_name=args.hash,
+            seed=args.seed,
+        ),
+        n_bands=args.bands,
+        rows_per_band=args.rows,
+        jaccard_threshold=args.tau,
+        band_group_cap=args.band_group_cap,
+    )
+    pages = spark.read.parquet(args.pages)
+    clusters, report = run_pipeline(spark, pages, cfg, args.checkpoint_dir)
+    clusters.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(report.to_dict()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
