@@ -32,7 +32,9 @@ class SketchConfig:
 @dataclass(frozen=True)
 class PipelineConfig:
     sketch: SketchConfig = field(default_factory=SketchConfig)
-    # LSH banding: bands x rows over the sorted bottom-k signature
+    # LSH banding: n_bands OPH multiply-shift rehash keys per doc, each key
+    # digesting rows_per_band dense-OPH slots of the sketch contents
+    # (operators/banding.py — NOT a sorted-prefix split)
     n_bands: int = 16
     rows_per_band: int = 16
     jaccard_threshold: float = 0.8
@@ -41,20 +43,20 @@ class PipelineConfig:
     # probability is still the (sub)sketch Jaccard — at maxsize=1000 this
     # cuts banding CPU 4x with the same S-curve
     band_input_k: int = 256
-    # skew control: a band bucket with more than this many docs is salted
-    # into sub-buckets; buckets beyond hard_cap (after salting) are dropped
-    # WITH a logged metric (never silently).
+    # skew control: a band bucket with more than this many docs is
+    # star-linked (every member pairs with the bucket's min id) instead of
+    # producing all C(n,2) pairs — nothing is dropped; transitive closure
+    # recovers the clique through the star center. Caveat: if one over-cap
+    # bucket holds multiple distinct near-dup cliques, intra-bucket edges
+    # between non-center members are not emitted and recall for those pairs
+    # relies on the other n_bands-1 bands (operators/candidates.py).
     band_group_cap: int = 2000
     min_doc_bytes: int = 21  # docs shorter than one shingle produce no sketch
 
     def config_hash(self) -> str:
-        payload = json.dumps(
-            {
-                "sketch": asdict(self.sketch),
-                "n_bands": self.n_bands,
-                "rows_per_band": self.rows_per_band,
-                "jaccard_threshold": self.jaccard_threshold,
-            },
-            sort_keys=True,
-        ).encode()
+        # hash EVERY field: any output-affecting config change (band_input_k
+        # changes band keys, band_group_cap changes candidate pairs,
+        # min_doc_bytes changes extract) must invalidate checkpoints —
+        # resuming across a semantic change would silently give wrong clusters
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]

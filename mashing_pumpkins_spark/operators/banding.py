@@ -16,7 +16,12 @@ For a random g_j the minimum over A∪B falls in A∩B with probability exactly
 S-curve. Components derive purely from sketch contents, preserving the
 bit-compat contract of the signatures table.
 
-Defaults b=32, r=8 (m=256): P(candidate | s=0.8) = 99.7%.
+PipelineConfig defaults b=16, r=16 (m=256): P(candidate) = 1-(1-s^16)^16
+≈ 0.37 at s=0.80 and ≈ 0.96 at s=0.90 — a steep knee near s≈0.85 that
+suppresses sub-threshold candidate volume; the end-to-end recall test
+(tests/test_pipeline.py) plants duplicates right of the knee and asserts
+recall ≥0.99. For a softer curve at threshold 0.8 use b=32, r=8
+(P(candidate | s=0.8) = 99.7%).
 
 Physical plan: ONE vectorized pandas UDF computes the m component minima
 (numpy reduceat over the batch's flattened sigs) AND folds each r-run into

@@ -58,11 +58,16 @@ class ParquetCheckpointStore:
         try:
             return spark.read.parquet(str(data))
         except Exception:
-            # an empty stage writes no part files; reconstruct from the
-            # schema recorded in the manifest
+            # An empty stage writes no part files; reconstruct from the
+            # schema recorded in the manifest — but ONLY when the manifest
+            # says the stage really had 0 rows. A corrupted / partially
+            # deleted snapshot whose directory still exists must fail loudly,
+            # not resume as a silently-empty stage.
             from pyspark.sql.types import StructType
 
             meta = json.loads(manifest.read_text())
+            if meta.get("rows", -1) != 0:
+                raise
             schema = StructType.fromJson(meta["schema"])
             return spark.createDataFrame([], schema)
 

@@ -189,6 +189,69 @@ def test_pipeline_resume_skips_committed_stages(spark, corpus, tmp_path_factory)
     assert not any(s.skipped for s in report4.stages)
 
 
+def test_config_hash_covers_all_output_affecting_fields():
+    """Resume must recompute when ANY semantic knob changes — band_input_k
+    changes every band key, band_group_cap changes the candidate pairs,
+    min_doc_bytes changes extract (round-1 verdict bug: these were omitted
+    and a resume silently reused stale checkpoints)."""
+    base = PipelineConfig()
+    variants = [
+        PipelineConfig(band_input_k=64),
+        PipelineConfig(band_group_cap=500),
+        PipelineConfig(min_doc_bytes=100),
+        PipelineConfig(n_bands=32, rows_per_band=8),
+        PipelineConfig(jaccard_threshold=0.7),
+        PipelineConfig(sketch=SketchConfig(maxsize=128)),
+    ]
+    hashes = {base.config_hash()} | {v.config_hash() for v in variants}
+    assert len(hashes) == 1 + len(variants), "every field must feed config_hash"
+    # and a changed band_input_k actually invalidates a resume end-to-end
+    assert PipelineConfig(band_input_k=64).config_hash() != base.config_hash()
+
+
+def test_pipeline_resume_recomputes_on_band_input_k_change(
+    spark, corpus, tmp_path_factory
+):
+    pages_pd, _ = corpus
+    pages = spark.createDataFrame(pages_pd.head(120))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bik"))
+    cfg_a = PipelineConfig(sketch=CFG.sketch, n_bands=32, rows_per_band=8)
+    _, r1 = run_pipeline(spark, pages, cfg_a, ckpt)
+    assert not any(s.skipped for s in r1.stages)
+    cfg_b = PipelineConfig(
+        sketch=CFG.sketch, n_bands=32, rows_per_band=8, band_input_k=64
+    )
+    _, r2 = run_pipeline(spark, pages, cfg_b, ckpt)
+    assert not any(s.skipped for s in r2.stages), (
+        "band_input_k change must invalidate every checkpointed stage"
+    )
+
+
+def test_checkpoint_read_fails_on_corrupted_nonempty_stage(spark, tmp_path):
+    """A snapshot whose manifest says rows>0 but whose parquet is unreadable
+    must raise, not silently resume as an empty stage."""
+    import pathlib
+    import shutil
+
+    from mashing_pumpkins_spark.plans.checkpoint import ParquetCheckpointStore
+
+    store = ParquetCheckpointStore(str(tmp_path), "deadbeef")
+    df = spark.createDataFrame([("u1", "t1")], "url string, text string")
+    store.write(spark, "extract", df)
+    # corrupt: delete every part file but keep the directory + manifest
+    data_dir = pathlib.Path(tmp_path) / "extract.parquet"
+    shutil.rmtree(data_dir)
+    data_dir.mkdir()
+    assert store.has("extract")  # manifest still claims complete
+    with pytest.raises(Exception):
+        store.read(spark, "extract").collect()
+    # an honestly-empty stage (rows==0) still reconstructs from the manifest
+    empty = spark.createDataFrame([], "url string, text string")
+    store.write(spark, "empty_stage", empty)
+    got = store.read(spark, "empty_stage")
+    assert got.count() == 0 and set(got.columns) == {"url", "text"}
+
+
 def test_pipeline_skew_star_linking(spark, tmp_path_factory):
     """300 near-identical docs (mass-template plant) with a tiny bucket cap:
     star linking must keep them in ONE cluster and report the skew."""
