@@ -32,8 +32,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7/O9/nvisited: signature size at k=64 + shingles visited. The SQL
-    oracle recomputes both from distinct 21-char substrings — a full value
-    oracle of the sketch cardinality semantics."""
+    oracle recomputes both from distinct 21-byte windows of the UTF-8
+    encoding (hex-window shingling) — a full value oracle of the sketch
+    cardinality semantics, byte-exact on non-ASCII text too."""
     from mashing_pumpkins_spark.config import SketchConfig
     from mashing_pumpkins_spark.operators.signature import with_signature
 
@@ -468,11 +469,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shingling is BYTE-based (the engine hashes 21-byte windows of the UTF-8
+# encoding); hex(encode(text)) turns each 21-byte window into an injective
+# 42-hex-char window so DuckDB's char substr is byte-exact on non-ASCII too.
 _SHINGLES_CTE = """
 with sh as (
-  select doc_id, substr(text, i, 21) as s
-  from (select doc_id, text, unnest(generate_series(1, length(text) - 20)) as i
-        from documents where length(text) >= 21)
+  select doc_id, substr(hx, 2*i - 1, 42) as s
+  from (select doc_id, hex(encode(text)) as hx,
+               unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+        from documents where octet_length(encode(text)) >= 21)
 ), ds as (select doc_id, count(distinct s) as n from sh group by 1),
 inter as (
   select a.doc_id as id_a, b.doc_id as id_b, count(distinct a.s) as i
@@ -502,13 +507,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sketch_stats": """
             with sh as (
-              select doc_id, substr(text, i, 21) as s
-              from (select doc_id, text, unnest(generate_series(1, length(text) - 20)) as i
-                    from documents where length(text) >= 21)
+              select doc_id, substr(hx, 2*i - 1, 42) as s
+              from (select doc_id, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
             )
             select d.doc_id,
                    coalesce(least(64, x.nd), 0)::int as sig_size,
-                   greatest(length(d.text) - 20, 0)::bigint as nvisited
+                   greatest(octet_length(encode(d.text)) - 20, 0)::bigint as nvisited
             from documents d
             left join (select doc_id, count(distinct s) as nd from sh group by 1) x
               on x.doc_id = d.doc_id
@@ -528,9 +534,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shingle_multiplicity": """
             with sh as (
-              select doc_id, substr(text, i, 21) as s
-              from (select doc_id, text, unnest(generate_series(1, length(text) - 20)) as i
-                    from documents where length(text) >= 21)
+              select doc_id, substr(hx, 2*i - 1, 42) as s
+              from (select doc_id, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
             ), per as (
               select doc_id, count(distinct s) as ds, max(c) as mx, sum(c) as nv
               from (select doc_id, s, count(*) as c from sh group by 1, 2)
@@ -616,10 +623,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_sketch_rollup": """
             with sh as (
-              select doc_id, source, substr(text, i, 21) as s
-              from (select doc_id, source, text,
-                           unnest(generate_series(1, length(text) - 20)) as i
-                    from documents where length(text) >= 21)
+              select doc_id, source, substr(hx, 2*i - 1, 42) as s
+              from (select doc_id, source, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
             )
             select source,
                    count(distinct s)::int as distinct_shingles,

@@ -5,7 +5,7 @@ Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
 ONE JSON line:
 
-    {"metric": "pipeline_docs_per_sec", "value": N, "unit": "sec",
+    {"metric": "pipeline_docs_per_sec", "value": N, "unit": "docs/sec",
      "queries": {...per-query seconds...}, "sf": ...}
 
 The headline metric is end-to-end docs/sec of the near-duplicate pipeline
@@ -192,7 +192,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     return {
         "metric": "pipeline_docs_per_sec",
         "value": round(docs_per_sec, 2),
-        "unit": "sec",
+        "unit": "docs/sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_pages": BENCH_PAGES,

@@ -97,10 +97,13 @@ def counted_signature(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(sketch hashes, occurrence count of each retained hash, nvisited).
 
-    Count semantics per the reference CountTrait
-    (/root/reference/src/minhashsketch.py:536-565): counts are sightings of
-    hashes that survive in the sketch; one np.unique(return_counts=True)
-    over the full pass gives exactly the final counts for survivors.
+    Count semantics: TRUE per-shingle multiplicities of the retained hashes
+    (np.unique(return_counts=True)). This follows the reference CountTrait's
+    documented/tested intent (/root/reference/src/minhashsketch.py:536-565
+    and its test expectations), deliberately deviating from the reference
+    *code*, which increments a count only on heap insert (update_elt is None
+    in _minmaxhash_add_ngrams, so re-sightings never increment) — see
+    SURVEY.md §7.3.
     """
     h = doc_hashes(data, cfg)
     if h.shape[0] == 0:

@@ -10,7 +10,7 @@ import numpy as np
 
 from .mmh3 import mmh3_x64_128_low64, mmh3_x64_128_low64_sliding
 from .u64 import MASK64, i64_to_u64, u64_to_i64
-from .xxh64 import xxh64, xxh64_sliding
+from .xxh64 import xxh64, xxh64_fixed, xxh64_sliding
 
 # name -> (sliding kernel, reference default seed)
 # seeds: /root/reference/src/_xxhash.c:4 (0), /root/reference/src/_murmurhash3.cpp:4 (42)
@@ -45,6 +45,7 @@ __all__ = [
     "i64_to_u64",
     "u64_to_i64",
     "xxh64",
+    "xxh64_fixed",
     "xxh64_sliding",
     "mmh3_x64_128_low64",
     "mmh3_x64_128_low64_sliding",

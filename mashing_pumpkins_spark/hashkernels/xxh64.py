@@ -132,6 +132,68 @@ def xxh64_sliding(buf: np.ndarray | bytes, width: int, seed: int = 0) -> np.ndar
     return h
 
 
+def xxh64_fixed(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH64 of each row of a (k, L) uint8 matrix; returns uint64[k].
+
+    The batch analog of the scalar ``xxh64`` for equal-length inputs: used to
+    hash all distinct tokens of one Arrow batch with a handful of vector ops
+    instead of a Python call per token (tokens are grouped by byte length by
+    the caller). Bit-identical to ``xxh64(row.tobytes(), seed)`` per row.
+    """
+    mat = np.ascontiguousarray(mat, dtype=np.uint8)
+    if mat.ndim != 2:
+        raise ValueError("xxh64_fixed expects a (k, L) matrix")
+    k, L = mat.shape
+    if k == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    def r64(off: int) -> np.ndarray:
+        return np.ascontiguousarray(mat[:, off : off + 8]).view("<u8").ravel()
+
+    def r32(off: int) -> np.ndarray:
+        return np.ascontiguousarray(mat[:, off : off + 4]).view("<u4").ravel()
+
+    seed_u = seed & MASK64
+    if L >= 32:
+        v1 = np.full(k, (seed_u + _PY_P1 + _PY_P2) & MASK64, dtype=np.uint64)
+        v2 = np.full(k, (seed_u + _PY_P2) & MASK64, dtype=np.uint64)
+        v3 = np.full(k, seed_u, dtype=np.uint64)
+        v4 = np.full(k, (seed_u - _PY_P1) & MASK64, dtype=np.uint64)
+        off = 0
+        while off + 32 <= L:
+            v1 = _rotl(v1 + r64(off) * _P2, 31) * _P1
+            v2 = _rotl(v2 + r64(off + 8) * _P2, 31) * _P1
+            v3 = _rotl(v3 + r64(off + 16) * _P2, 31) * _P1
+            v4 = _rotl(v4 + r64(off + 24) * _P2, 31) * _P1
+            off += 32
+        h = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h ^= _rotl(v * _P2, 31) * _P1
+            h = h * _P1 + _P4
+    else:
+        h = np.full(k, (seed_u + _PY_P5) & MASK64, dtype=np.uint64)
+        off = 0
+    h = h + np.uint64(L)
+    while off + 8 <= L:
+        h ^= _rotl(r64(off) * _P2, 31) * _P1
+        h = _rotl(h, 27) * _P1 + _P4
+        off += 8
+    if off + 4 <= L:
+        h ^= r32(off).astype(np.uint64) * _P1
+        h = _rotl(h, 23) * _P2 + _P3
+        off += 4
+    while off < L:
+        h ^= mat[:, off].astype(np.uint64) * _P5
+        h = _rotl(h, 11) * _P1
+        off += 1
+    h ^= h >> np.uint64(33)
+    h *= _P2
+    h ^= h >> np.uint64(29)
+    h *= _P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def xxh64(data: bytes, seed: int = 0) -> int:
     """Scalar pure-Python XXH64 (test oracle / tiny inputs)."""
 

@@ -59,8 +59,9 @@ def make_signature_udf(cfg: SketchConfig):
 def make_counted_signature_udf(cfg: SketchConfig):
     """Counted-sketch UDF: text -> struct<hashes, counts, nvisited>.
 
-    Counts are per-retained-hash sighting counts (reference CountTrait,
-    /root/reference/src/minhashsketch.py:536-565)."""
+    Counts are TRUE per-retained-hash multiplicities — the reference
+    CountTrait's documented/tested intent, not its insert-only counting
+    code path (see counted_signature in functions/sketch_np.py)."""
     from ..functions.sketch_np import counted_signature
     from ..hashkernels import u64_to_i64
 

@@ -127,6 +127,7 @@ def verified_edges(
     cfg: PipelineConfig,
     url_col: str = "url",
     broadcast_cap_bytes: int = 48 << 20,
+    n_candidate_urls: int | None = None,
 ) -> DataFrame:
     """pairs(url_a, url_b) x signatures(url, sig) -> edges(url_a, url_b, jaccard >= tau).
 
@@ -135,13 +136,22 @@ def verified_edges(
     strategy — no shuffle at all; otherwise the two-phase prefix-prefilter
     join path (the 10^12-scale plan). The cap is deliberately conservative:
     driver-side toPandas + pickle of the slice is SERIAL time — measured
-    ~120s for a 320MB slice, far worse than the shuffles it avoids."""
+    ~120s for a 320MB slice, far worse than the shuffles it avoids.
+
+    ``n_candidate_urls``: upper bound on distinct urls in ``pairs`` when the
+    caller already knows it (the pipeline passes 2x the candidate-stage row
+    count from the checkpoint manifest) — avoids spending an extra Spark job
+    on a count that only picks the strategy."""
     tau = cfg.jaccard_threshold
     sigs = signatures.select(F.col(url_col).alias("url"), "sig")
 
-    n_urls = pairs.select(
-        F.explode(F.array("url_a", "url_b")).alias("url")
-    ).distinct().count()
+    n_urls = (
+        n_candidate_urls
+        if n_candidate_urls is not None
+        else pairs.select(F.explode(F.array("url_a", "url_b")).alias("url"))
+        .distinct()
+        .count()
+    )
     if n_urls * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
         return _broadcast_verify(pairs, sigs, tau)
 

@@ -100,8 +100,14 @@ def run_pipeline(
         return pairs
 
     pairs = stage("candidates", _candidates)
+    # the candidates stage row count is already in the manifest — hand the
+    # verify dispatch its url bound instead of spending a count job
+    n_pair_rows = report.stages[-1].rows
     near_edges = stage(
-        "edges", lambda: verified_edges(pairs, signatures, cfg)
+        "edges",
+        lambda: verified_edges(
+            pairs, signatures, cfg, n_candidate_urls=2 * n_pair_rows
+        ),
     )
     all_edges = near_edges.select("url_a", "url_b").union(
         exact_edges.select("url_a", "url_b")

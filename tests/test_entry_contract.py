@@ -92,3 +92,46 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sketch_stats", "shingle_jaccard_exact", "shingle_multiplicity",
+     "source_sketch_rollup"],
+)
+def test_shingle_oracles_are_byte_exact_on_non_ascii(spark, tmp_path, name):
+    """The engine shingles the UTF-8 byte encoding; the DuckDB oracle now
+    shingles hex(encode(text)) windows — they must agree on multibyte text
+    (round-1 advice: char-based substr silently diverged off-ASCII)."""
+    import pandas as pd
+
+    base = "наïve café 北京 data deduplication ワークロード "
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base * 6,
+                base * 6 + "экстра хвост",
+                "żółć gęślą jaźń " * 8,
+                "pure ascii text only here " * 8,
+            ],
+            "lang": ["ru", "ru", "pl", "en"],
+            "source": ["web", "web", "web", "news"],
+            "n_chars": [0, 0, 0, 0],
+        }
+    )
+    rows.to_parquet(tmp_path / "documents.parquet")
+    sdf = QUERIES[name](spark, str(tmp_path))
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{tmp_path}/documents.parquet'"
+    )
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    assert spark_cols == duck_cols
+    assert len(spark_rows) == len(duck_rows), name
+    assert _value_hash(spark_rows, spark_cols) == _value_hash(duck_rows, duck_cols), name

@@ -9,9 +9,10 @@ from pyspark.sql import functions as F
 
 from mashing_pumpkins_spark.config import SketchConfig
 from mashing_pumpkins_spark.functions.simhash import (
-    _simhash_tokens,
     hamming64,
+    simhash_batch,
     simhash_near_pairs,
+    simhash_pairs_from_values,
 )
 from mashing_pumpkins_spark.operators.ann import cosine_topk, lsh_cosine_topk
 from mashing_pumpkins_spark.operators.multimodal import (
@@ -20,20 +21,118 @@ from mashing_pumpkins_spark.operators.multimodal import (
 )
 
 
+def _simhash_scalar_oracle(tokens: list[str], seed: int) -> int:
+    """Per-token reference implementation (the round-1 code path) — the
+    vectorized simhash_batch must be bit-identical to it."""
+    from mashing_pumpkins_spark.hashkernels import xxh64
+
+    if not tokens:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    for tok, w in counts.items():
+        h = xxh64(tok.encode("utf-8"), seed)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes += np.where(bits.astype(bool), w, -w)
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def _sh1(text: str, seed: int = 0) -> int:
+    return int(simhash_batch(pd.Series([text]), seed)[0])
+
+
 def test_simhash_properties():
-    a = _simhash_tokens("the quick brown fox jumps over the lazy dog".split(), 0)
-    b = _simhash_tokens("the quick brown fox jumps over the lazy cat".split(), 0)
-    c = _simhash_tokens("completely different words entirely unrelated".split(), 0)
+    a = _sh1("the quick brown fox jumps over the lazy dog")
+    b = _sh1("the quick brown fox jumps over the lazy cat")
+    c = _sh1("completely different words entirely unrelated")
 
     def ham(x, y):
         return bin((x & (1 << 64) - 1) ^ (y & (1 << 64) - 1)).count("1")
 
     assert ham(a, a) == 0
     assert ham(a, b) < ham(a, c)
-    assert _simhash_tokens([], 0) == 0
+    assert _sh1("") == 0
     # order-insensitive (bag of words)
-    d = _simhash_tokens("dog lazy the over jumps fox brown quick the".split(), 0)
+    d = _sh1("dog lazy the over jumps fox brown quick the")
     assert d == a
+
+
+def test_simhash_batch_matches_scalar_oracle():
+    import random
+
+    rng = random.Random(17)
+    texts = [
+        " ".join(
+            rng.choice(["alpha", "Beta", "γάμμα", "delta42", "x", "", "naïve-café"])
+            for _ in range(rng.randrange(0, 40))
+        )
+        for _ in range(64)
+    ] + ["", "   ", "single"]
+    got = simhash_batch(pd.Series(texts), seed=0)
+    for t, g in zip(texts, got):
+        assert int(g) == _simhash_scalar_oracle(t.lower().split(), 0), repr(t)
+    # a second seed too
+    got7 = simhash_batch(pd.Series(texts), seed=7)
+    for t, g in zip(texts, got7):
+        assert int(g) == _simhash_scalar_oracle(t.lower().split(), 7), repr(t)
+
+
+def test_xxh64_fixed_matches_scalar():
+    import random
+
+    from mashing_pumpkins_spark.hashkernels import xxh64, xxh64_fixed
+
+    rng = random.Random(3)
+    for L in [0, 1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 40, 64, 100]:
+        rows = [bytes(rng.randrange(256) for _ in range(L)) for _ in range(5)]
+        mat = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(5, L)
+        got = xxh64_fixed(mat, seed=0)
+        for r, g in zip(rows, got):
+            assert int(g) == xxh64(r, 0), (L, r)
+        got42 = xxh64_fixed(mat, seed=42)
+        for r, g in zip(rows, got42):
+            assert int(g) == xxh64(r, 42), (L, r)
+
+
+def test_simhash_blocking_recovers_planted_pairs_up_to_max_hamming(spark):
+    """Round-1 recall hole: quarter blocking missed pairs at hamming 4..8.
+    Pigeonhole blocking (max_hamming+1 blocks) must be lossless at d <=
+    max_hamming — plant pairs at every d in 1..8 with adversarially spread
+    bit flips (one per block, the worst case for the old scheme)."""
+    import random
+
+    rng = random.Random(29)
+    rows = []
+    expected = set()
+    next_id = 0
+    for d in range(1, 9):
+        for rep in range(3):
+            base = rng.getrandbits(64)
+            # spread the d flips across distinct 16-bit quarters first (kills
+            # quarter blocking), then anywhere
+            positions = rng.sample(range(64), d)
+            mutant = base
+            for p in positions:
+                mutant ^= 1 << p
+            a, b = next_id, next_id + 1
+            next_id += 2
+            to_i64 = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+            rows.append((a, to_i64(base)))
+            rows.append((b, to_i64(mutant)))
+            expected.add((a, b))
+    sim = spark.createDataFrame(rows, "id long, sh long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_from_values(sim, max_hamming=8).collect()
+    }
+    missed = expected - got
+    assert not missed, f"planted pairs missed: {missed}"
 
 
 def test_simhash_near_pairs_spark(spark):

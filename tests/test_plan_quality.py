@@ -38,3 +38,34 @@ def test_band_join_is_equi_join(plan_frames):
     # within-bucket pairing must be a hash/sort-merge equi-join on band key
     assert "band_key" in plan
     assert "Join" in plan
+
+
+def test_ann_rerank_has_no_interpreted_vector_lambdas(spark):
+    """The ANN re-rank must score candidates with numpy matmul inside
+    mapInPandas, never Catalyst's interpreted zip_with/aggregate over the
+    vector arrays (round-1 verdict item 5: candidates are the big side)."""
+    import numpy as np
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.ann import (
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((80, 16))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(80),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 4)
+    for out in (
+        lsh_cosine_topk(df, queries, k=3, n_planes=64),
+        ivf_cosine_topk(df, queries, k=3, n_cells=4, n_probe=2),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "zip_with" not in plan and "aggregate(" not in plan, plan
+        assert "CartesianProduct" not in plan
