@@ -65,6 +65,105 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 long-doc sharding (reference chunkpos_iter, sequence.py:6-49):
+    docs sketched as overlapping 4KB byte chunks and merged (O11/O12) must
+    give the same sketch as whole-doc sketching — so this shares
+    sketch_stats' full SQL value oracle."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.sharding import sketch_table_sharded
+
+    cfg = SketchConfig(nsize=21, maxsize=64, hash_name="xxh64", seed=0)
+    return (
+        sketch_table_sharded(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            cfg,
+            chunk_bytes=4096,
+            url_col="doc_id",
+        )
+        .select(
+            "doc_id",
+            F.size("sig").alias("sig_size"),
+            F.col("nvisited").alias("nvisited"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_multi_sketch_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 SketchList analog (reference parallel.py:56-122): MinHash +
+    SimHash from ONE text scan (single ArrowEvalPython stage feeding both —
+    plan-asserted in tests/test_multisketch.py). simhash values are
+    hash-defined -> rows-only; per-column equality with the separate passes
+    is test-asserted."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.multisketch import multi_sketch_table
+
+    cfg = SketchConfig(nsize=21, maxsize=64, hash_name="xxh64", seed=0)
+    return (
+        multi_sketch_table(
+            _docs(spark, sf_dir).select("doc_id", "text"), cfg, url_col="doc_id"
+        )
+        .select(
+            "doc_id",
+            F.size("sig").alias("sig_size"),
+            "nvisited",
+            "simhash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_resketch_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 add_hashvalues (reference minhashsketch.py:439-475): re-sketch by
+    ingesting a stored signature's raw hash values into another signature.
+    Un-truncated, so the merged size equals the pair's distinct-shingle
+    union — a full SQL value oracle for the hash-ingestion path."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.estimators import add_hashvalues
+    from mashing_pumpkins_spark.operators.signature import with_signature
+
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    sigs = with_signature(
+        _docs(spark, sf_dir).select("doc_id", "text"), cfg
+    ).select("doc_id", "sig")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                add_hashvalues(F.col("sig_a"), F.col("sig_b"), 1 << 30)
+            ).alias("union_size"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact substring dedup (north rule's third family):
+    doc pairs sharing an exact byte substring >= 64 bytes, via winnowing
+    minimizer anchors + byte-extension verify. Oracle: explode every
+    64-byte window (hex form) and join — the sets are provably equal."""
+    from mashing_pumpkins_spark.operators.substring import (
+        substring_duplicate_pairs,
+    )
+
+    return (
+        substring_duplicate_pairs(
+            _docs(spark, sf_dir), min_len=64, k=32, anchor_df_cap=None
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_shingle_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 (jaccard) through the whole sketch path, un-truncated so sketch
     Jaccard == true 21-char shingle-set Jaccard — full SQL value oracle."""
@@ -444,6 +543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sketch_stats": q_sketch_stats,
         "minhash_signature": q_minhash_signature,
+        "sketch_sharded_stats": q_sketch_sharded_stats,
+        "multi_sketch_one_pass": q_multi_sketch_one_pass,
+        "resketch_union_stats": q_resketch_union_stats,
+        "substring_dup_pairs": q_substring_dup_pairs,
         "shingle_jaccard_exact": q_shingle_jaccard_exact,
         "similarity_estimators": q_similarity_estimators,
         "shingle_multiplicity": q_shingle_multiplicity,
@@ -519,6 +622,51 @@ def oracle_sql() -> dict[str, str]:
             left join (select doc_id, count(distinct s) as nd from sh group by 1) x
               on x.doc_id = d.doc_id
             order by d.doc_id
+        """,
+        # sharded sketching is bit-identical to whole-doc sketching, so the
+        # sharded query shares sketch_stats' oracle verbatim
+        "sketch_sharded_stats": """
+            with sh as (
+              select doc_id, substr(hx, 2*i - 1, 42) as s
+              from (select doc_id, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
+            )
+            select d.doc_id,
+                   coalesce(least(64, x.nd), 0)::int as sig_size,
+                   greatest(octet_length(encode(d.text)) - 20, 0)::bigint as nvisited
+            from documents d
+            left join (select doc_id, count(distinct s) as nd from sh group by 1) x
+              on x.doc_id = d.doc_id
+            order by d.doc_id
+        """,
+        "resketch_union_stats": _SHINGLES_CTE
+        + """,
+        pairs as (
+          select d1.doc_id as id_a, d2.doc_id as id_b
+          from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 1
+        ),
+        uni as (
+          select id_a, id_b, count(distinct s) as u from (
+            select p.id_a, p.id_b, t.s from pairs p join sh t on t.doc_id = p.id_a
+            union all
+            select p.id_a, p.id_b, t.s from pairs p join sh t on t.doc_id = p.id_b
+          ) group by 1, 2
+        )
+        select p.id_a, p.id_b, coalesce(u.u, 0)::int as union_size
+        from pairs p left join uni u on u.id_a = p.id_a
+        order by p.id_a
+        """,
+        "substring_dup_pairs": """
+            with win as (
+              select doc_id, substr(hx, 2*i - 1, 128) as s
+              from (select doc_id, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 63)) as i
+                    from documents where octet_length(encode(text)) >= 64)
+            )
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from win a join win b on a.s = b.s and a.doc_id < b.doc_id
+            order by id_a, id_b
         """,
         "shingle_jaccard_exact": _SHINGLES_CTE
         + "select id_a, id_b, jaccard from jac where jaccard >= 0.8 order by id_a, id_b",

@@ -23,6 +23,13 @@ class SketchConfig:
     hash_name: str = "xxh64"  # /root/reference/src/_xxhash.c:4 (seed 0)
     seed: int = 0
     minmax: str = "min"  # bottom-k MinSketch ("max" = top-k MaxSketch)
+    # pre-hash window canonicalization: "none" hashes each window as-is;
+    # "dna_rc" hashes the lexicographically smaller of (window,
+    # reverse-complement(window)) — the MASH canonical k-mer scheme of the
+    # reference's hasharray_withrc (/root/reference/src/_murmurhash3_mash.cpp
+    # :13-81). Named (not a callable) so the config stays hashable/picklable;
+    # kernels resolve it via functions.sketch_np.CANONICALIZERS.
+    canonical: str = "none"
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
@@ -52,6 +59,13 @@ class PipelineConfig:
     # relies on the other n_bands-1 bands (operators/candidates.py).
     band_group_cap: int = 2000
     min_doc_bytes: int = 21  # docs shorter than one shingle produce no sketch
+    # long-document sharding: when > 0, docs whose UTF-8 encoding exceeds
+    # this many bytes are sketched as overlapping chunks and merged
+    # (operators/sharding.py) — bounds per-task input; 0 disables. The
+    # merged sketch is bit-identical either way, so this is a physical
+    # knob, but it changes stage row counts and thus participates in
+    # config_hash like everything else.
+    shard_chunk_bytes: int = 0
 
     def config_hash(self) -> str:
         # hash EVERY field: any output-affecting config change (band_input_k

@@ -61,3 +61,20 @@ def merge_sketch_arrays(a: Column, b: Column, k: int, minmax: str = "min") -> Co
             F.slice(ordered, n - F.lit(k) + F.lit(1), F.lit(k))
         )
     return F.transform(sliced, lambda x: x.bitwiseXOR(F.lit(-9223372036854775808)))
+
+
+def add_hashvalues(sig: Column, values: Column, k: int, minmax: str = "min") -> Column:
+    """Ingest raw hash values into a stored signature, conserving the
+    bottom-k (or top-k) sketch characteristic — the engine-level form of the
+    reference's MinSketch.add_hashvalues
+    (/root/reference/src/minhashsketch.py:439-475).
+
+    Semantics mirrored exactly: values merge by the same truncated distinct
+    union as a sketch merge, and the caller's `nvisited` column is NOT
+    incremented — the reference leaves nvisited untouched so hash-level
+    ingestion can rebuild/extend sketches without distorting the visited
+    count (reference note at :444-446). `values` may be raw i64-bit-pattern
+    hashes (array<bigint>) from any source: a previously persisted
+    signature, an external sketch interchange file, or synthetic probes.
+    """
+    return merge_sketch_arrays(sig, values, k, minmax)

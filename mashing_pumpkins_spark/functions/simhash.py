@@ -167,11 +167,21 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     seed: int = 0,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: compute signatures (one vectorized UDF
     pass), then lossless pigeonhole blocking + exact hamming verify — see
-    simhash_pairs_from_values."""
+    simhash_pairs_from_values.
+
+    The blocking self-join consumes the signature table twice; by default
+    it is persisted so the text scan + simhash UDF run once (at scale you'd
+    materialize the signature table anyway — pass persist=False if the
+    caller already did)."""
     sim = docs.select(
         F.col(id_col).alias("id"), make_simhash_udf(seed)(F.col(text_col)).alias("sh")
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sim = sim.persist(StorageLevel.MEMORY_AND_DISK)
     return simhash_pairs_from_values(sim, max_hamming=max_hamming)

@@ -32,11 +32,68 @@ def _kernel(cfg: SketchConfig):
     return fn
 
 
+# DNA reverse-complement byte table: ACGT<->TGCA (case-preserving), every
+# other byte maps to itself (the reference's mash kernel only ever sees
+# ACGT input; identity elsewhere keeps the transform total).
+_RC_TABLE = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgt", b"TGCAtgca"):
+    _RC_TABLE[_a] = _b
+
+
+def _canonical_dna_rc_hashes(
+    buf: np.ndarray, nsize: int, kernel, seed: int
+) -> np.ndarray:
+    """MASH canonical-window hashing (reference hasharray_withrc,
+    /root/reference/src/_murmurhash3_mash.cpp:60-74): for each nsize window,
+    hash the lexicographically smaller of (window, reverse_complement
+    (window)). Vectorized: hash the buffer forward AND its full reverse
+    complement (rc window j = L-nsize-i is exactly revcomp(window i)), then
+    select per window by a row-wise lex compare of the two byte matrices.
+
+    The reference compares with strcmp from the window START TO THE END OF
+    THE WHOLE STRING (suffix compare, not window compare); the choices can
+    only differ when the two windows are byte-identical — and then both
+    candidate hashes are equal — so outputs are provably identical to the
+    reference for NUL-free input.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    rc = _RC_TABLE[buf][::-1]
+    fwd = kernel(buf, nsize, seed=seed)
+    rev = kernel(rc, nsize, seed=seed)[::-1]
+    a = sliding_window_view(buf, nsize)
+    b = sliding_window_view(rc, nsize)[::-1]
+    neq = a != b
+    any_neq = neq.any(axis=1)
+    first = np.argmax(neq, axis=1)
+    rows = np.arange(a.shape[0])
+    use_fwd = ~any_neq | (a[rows, first] < b[rows, first])
+    return np.where(use_fwd, fwd, rev)
+
+
+CANONICALIZERS = {
+    "none": None,
+    "dna_rc": _canonical_dna_rc_hashes,
+}
+
+
+def _all_hashes(buf: np.ndarray | bytes, cfg: SketchConfig) -> np.ndarray:
+    """Window hashes honoring cfg.canonical; input must hold >= nsize bytes."""
+    if isinstance(buf, (bytes, bytearray, memoryview)):
+        buf = np.frombuffer(bytes(buf), dtype=np.uint8)
+    canon = CANONICALIZERS.get(cfg.canonical, "missing")
+    if canon == "missing":
+        raise ValueError(f"unknown canonical scheme {cfg.canonical!r}")
+    if canon is None:
+        return _kernel(cfg)(buf, cfg.nsize, seed=cfg.seed)
+    return canon(buf, cfg.nsize, _kernel(cfg), cfg.seed)
+
+
 def doc_hashes(data: bytes, cfg: SketchConfig) -> np.ndarray:
     """All shingle hashes of one document (uint64[n-nsize+1]); empty if short."""
     if len(data) < cfg.nsize:
         return _EMPTY_U64
-    return _kernel(cfg)(data, cfg.nsize, seed=cfg.seed)
+    return _all_hashes(data, cfg)
 
 
 def signature(data: bytes, cfg: SketchConfig) -> tuple[np.ndarray, int]:
@@ -50,36 +107,102 @@ def signature(data: bytes, cfg: SketchConfig) -> tuple[np.ndarray, int]:
     return sel(h, cfg.maxsize), int(h.shape[0])
 
 
+def signature_with_ngrams(
+    data: bytes, cfg: SketchConfig
+) -> tuple[np.ndarray, list[bytes], int]:
+    """(sketch hashes, retained shingle BYTES per hash, nvisited) — the
+    debug/interop form of the reference's make_elt, which keeps the ngram
+    alongside its hash in every heap element
+    (/root/reference/src/minhashsketch.py:8-10; used for sketch interchange
+    in the reference notebook). Hash-only is the production default — at
+    k=256/nsize=21 the payload multiplies sketch storage ~2.6x — so this is
+    a separate opt-in path, not a flag on the hot one.
+
+    For each retained hash the FIRST occurrence's forward window bytes are
+    stored (under canonical="dna_rc" a hash may have been computed from the
+    reverse-complement strand; the forward window is what the document
+    contains, mirroring the reference's make_elt which stores the ngram as
+    passed in).
+    """
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    else:
+        buf = np.asarray(data, dtype=np.uint8)
+    h = doc_hashes(bytes(buf), cfg)
+    if h.shape[0] == 0:
+        return _EMPTY_U64, [], 0
+    sel = bottomk if cfg.minmax == "min" else topk
+    sig = sel(h, cfg.maxsize)
+    order = np.argsort(h, kind="stable")
+    sorted_h = h[order]
+    first_occurrence = order[np.searchsorted(sorted_h, sig)]
+    ngrams = [bytes(buf[i : i + cfg.nsize]) for i in first_occurrence]
+    return sig, ngrams, int(h.shape[0])
+
+
+def signatures_from_buffer(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    cfg: SketchConfig,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-document sketches over one shared byte buffer — the zero-copy
+    core of both the bytes-list and Arrow paths.
+
+    ``buf`` holds every document's bytes; document i occupies
+    ``buf[starts[i] : starts[i] + lens[i]]`` (documents must be contiguous
+    and in order, which Arrow string buffers guarantee). One vectorized
+    hash pass covers the whole buffer; windows straddling document
+    boundaries are discarded by the per-document slicing. Canonicalization
+    is window-local (each window's decision and rc hash depend only on its
+    own bytes), so the shared-buffer trick remains valid under it.
+
+    Returns (flat signed-int64 signature values, int32 list offsets
+    [len n+1], nvisited int64[n]) — directly assemblable into an Arrow
+    ListArray with zero per-document Python objects.
+    """
+    sel = bottomk if cfg.minmax == "min" else topk
+    nsize = cfg.nsize
+    n = len(lens)
+    nvis = np.maximum(lens.astype(np.int64) - nsize + 1, 0)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    if buf.shape[0] < nsize or int(nvis.sum()) == 0:
+        return np.empty(0, dtype=np.int64), offsets, nvis
+    allh = _all_hashes(buf, cfg)
+    parts: list[np.ndarray] = []
+    sizes = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        nwin = int(nvis[i])
+        if nwin == 0:
+            continue
+        start = int(starts[i])
+        s = sel(allh[start : start + nwin], cfg.maxsize)
+        sizes[i] = s.shape[0]
+        parts.append(s)
+    np.cumsum(sizes, out=sizes)
+    offsets[1:] = sizes.astype(np.int32)
+    flat = np.concatenate(parts) if parts else _EMPTY_U64
+    return u64_to_i64(flat), offsets, nvis
+
+
 def batch_signatures(
     texts: list[bytes], cfg: SketchConfig
 ) -> tuple[list[list[int]], list[int]]:
     """Signatures for a whole Arrow batch in one vectorized hash pass.
 
     Returns (signatures as signed-int64 lists for Spark bigint arrays,
-    nvisited per doc).
+    nvisited per doc). The hot pipeline path uses the Arrow-native
+    signatures_from_buffer directly; this list form remains for the
+    column-append UDFs and the test oracles.
     """
-    sel = bottomk if cfg.minmax == "min" else topk
-    nsize = cfg.nsize
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-    total = int(lens.sum())
-    sigs: list[list[int]] = []
-    nvis: list[int] = []
-    if total < nsize:
-        # no document long enough; avoid kernel ValueError on tiny buffers
-        return [[] for _ in texts], [0] * len(texts)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(texts) else lens
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
-    allh = _kernel(cfg)(buf, nsize, seed=cfg.seed)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    for start, length in zip(starts, lens):
-        nwin = int(length) - nsize + 1
-        if nwin <= 0:
-            sigs.append([])
-            nvis.append(0)
-            continue
-        h = allh[start : start + nwin]
-        sigs.append(u64_to_i64(sel(h, cfg.maxsize)).tolist())
-        nvis.append(nwin)
-    return sigs, nvis
+    flat, offsets, nvis = signatures_from_buffer(buf, starts, lens, cfg)
+    sigs = [
+        flat[offsets[i] : offsets[i + 1]].tolist() for i in range(len(texts))
+    ]
+    return sigs, nvis.tolist()
 
 
 def merge_signatures(a: np.ndarray, b: np.ndarray, k: int, minmax: str = "min") -> np.ndarray:

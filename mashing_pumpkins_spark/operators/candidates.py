@@ -16,6 +16,13 @@ bucket, so the cap is semantic, not physical:
   Never a silent drop: star-bucket count and member count are reported in
   the stage metrics.
 
+  Recall caveat: if ONE over-cap bucket contains MULTIPLE distinct near-dup
+  cliques, intra-bucket edges between non-hub members of different cliques
+  are not emitted from this bucket, and those pairs rely on the other
+  n_bands-1 bands (each clique's pairs collide again in its own buckets
+  with the usual band probability). Raise band_group_cap or n_bands if a
+  workload plants several big cliques behind one shared boilerplate band.
+
 The pair table is deduped across bands (a near-dup pair typically shares
 many bands) BEFORE the expensive signature join.
 """

@@ -5,16 +5,19 @@ Semantics: reference FrozenSketch.jaccard_similarity
 two retained sets, >= tau keeps the edge.
 
 Physical strategy (two-phase, exact):
-1. PREFILTER on the bottom-256 prefix of each signature. A KMV prefix is
+1. PREFILTER on the bottom-64 prefix of each signature. A KMV prefix is
    itself a KMV sketch, so prefix-Jaccard estimates full-sketch Jaccard
-   with sigma = sqrt(s(1-s)/256) ~= 0.025; filtering at tau - 6*sigma keeps
+   with sigma = sqrt(s(1-s)/64) ~= 0.05; filtering at tau - 6*sigma keeps
    every true >=tau pair with probability ~1-1e-9 while killing the bulk of
    boilerplate-driven candidates (observed: ~95% of candidates at web-like
-   corpora sit far below tau). This cuts the expensive join payload from
-   k*8 bytes to min(k,256)*8 per side.
+   corpora sit far below tau, and at tau=0.8 the cut is 0.5). This cuts the
+   expensive join payload from k*8 bytes to 512 bytes per side — round-2
+   profiling showed the candidate-pair join payload, not the Jaccard UDF,
+   dominates the verify stage (1.9M candidates x 2 x k*8B through a
+   sort-merge join).
 2. EXACT pass on survivors with the full signatures — so the final edge set
    is exactly the tau-threshold set (phase 1 is only ever a superset
-   filter; when maxsize <= 256 phase 1 IS exact and phase 2 is skipped).
+   filter; when maxsize <= 64 phase 1 IS exact and phase 2 is skipped).
 
 The Jaccard itself runs as a vectorized Arrow UDF (numpy set intersection):
 Catalyst's array_intersect is evaluated interpreted per element — measured
@@ -34,7 +37,7 @@ from pyspark.sql.types import DoubleType
 
 from ..config import PipelineConfig
 
-PREFILTER_K = 256
+PREFILTER_K = 64
 
 
 @F.pandas_udf(DoubleType())

@@ -87,7 +87,7 @@ def run_pipeline(
         F.col("url").alias("url_a"), F.col("text").alias("url_b"), F.lit(1.0).alias("jaccard")
     )
 
-    signatures = stage("signatures", lambda: sketch_table(reps, cfg.sketch))
+    signatures = stage("signatures", lambda: _sketch_stage(reps, cfg))
     bands = stage("bands", lambda: band_table(signatures, cfg))
 
     def _candidates():
@@ -147,7 +147,7 @@ def run_pipeline_flow(
     # signatures feed BOTH the banding branch and the two verify joins;
     # bands feed the bucket-size agg and both self-join sides — without
     # persists Catalyst recomputes the UDF stages once per consumer
-    signatures = sketch_table(reps, cfg.sketch).persist(StorageLevel.MEMORY_AND_DISK)
+    signatures = _sketch_stage(reps, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     bands = band_table(signatures, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     pairs, _skew = candidate_pairs(bands, cfg)
     near_edges = verified_edges(pairs, signatures, cfg).persist(
@@ -159,6 +159,17 @@ def run_pipeline_flow(
     clusters, iters = connected_components_auto(all_edges)
     report.cc_iterations = iters
     return clusters, report
+
+
+def _sketch_stage(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """sketch_table, or its sharded variant when the config bounds per-task
+    input bytes (outlier 100MB+ pages: same sketch bit-for-bit, bounded
+    Arrow batches)."""
+    if cfg.shard_chunk_bytes > 0:
+        from ..operators.sharding import sketch_table_sharded
+
+        return sketch_table_sharded(reps, cfg.sketch, cfg.shard_chunk_bytes)
+    return sketch_table(reps, cfg.sketch)
 
 
 def _exact_stage(docs: DataFrame) -> DataFrame:

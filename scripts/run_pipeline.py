@@ -38,6 +38,19 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=8)
     ap.add_argument("--tau", type=float, default=0.8)
     ap.add_argument("--band-group-cap", type=int, default=2000)
+    ap.add_argument(
+        "--shard-chunk-bytes",
+        type=int,
+        default=0,
+        help="sketch docs larger than this as overlapping chunks and merge "
+        "(bounds per-task input for outlier pages; 0 = off)",
+    )
+    ap.add_argument(
+        "--canonical",
+        default="none",
+        choices=["none", "dna_rc"],
+        help="pre-hash window canonicalization (dna_rc = MASH canonical k-mers)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,11 +65,13 @@ def main() -> None:
             maxsize=args.maxsize,
             hash_name=args.hash,
             seed=args.seed,
+            canonical=args.canonical,
         ),
         n_bands=args.bands,
         rows_per_band=args.rows,
         jaccard_threshold=args.tau,
         band_group_cap=args.band_group_cap,
+        shard_chunk_bytes=args.shard_chunk_bytes,
     )
     pages = spark.read.parquet(args.pages)
     clusters, report = run_pipeline(spark, pages, cfg, args.checkpoint_dir)

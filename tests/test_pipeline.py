@@ -202,6 +202,7 @@ def test_config_hash_covers_all_output_affecting_fields():
         PipelineConfig(n_bands=32, rows_per_band=8),
         PipelineConfig(jaccard_threshold=0.7),
         PipelineConfig(sketch=SketchConfig(maxsize=128)),
+        PipelineConfig(shard_chunk_bytes=1 << 20),
     ]
     hashes = {base.config_hash()} | {v.config_hash() for v in variants}
     assert len(hashes) == 1 + len(variants), "every field must feed config_hash"

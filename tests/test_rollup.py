@@ -50,3 +50,35 @@ def test_kmv_distinct_count_estimator():
     kth = int(sig[-1])
     est = (cfg.maxsize - 1) * (2**64) / kth
     assert est == pytest.approx(true_distinct, rel=0.15)
+
+
+def test_add_hashvalues_column(spark):
+    """Engine-level add_hashvalues (reference minhashsketch.py:439-475):
+    raw hash values union into a stored signature under the bottom-k
+    invariant; nvisited is NOT bumped."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.estimators import add_hashvalues
+    from mashing_pumpkins_spark.functions.sketch_np import merge_signatures
+    from mashing_pumpkins_spark.hashkernels import i64_to_u64, u64_to_i64
+    from pyspark.sql import functions as F
+
+    cfg = SketchConfig(maxsize=8)
+    rng = np.random.default_rng(3)
+    # values straddling 2^63 so the unsigned-order slice is exercised
+    sig = u64_to_i64(np.sort(rng.integers(0, 2**64, 6, dtype=np.uint64)))
+    extra = u64_to_i64(rng.integers(0, 2**64, 7, dtype=np.uint64))
+    df = spark.createDataFrame(
+        [(sig.tolist(), extra.tolist(), 6)],
+        "sig array<long>, extra array<long>, nvisited long",
+    )
+    out = df.select(
+        add_hashvalues(F.col("sig"), F.col("extra"), cfg.maxsize).alias("sig"),
+        "nvisited",
+    ).first()
+    expect = merge_signatures(
+        i64_to_u64(sig), i64_to_u64(np.asarray(extra)), cfg.maxsize
+    )
+    assert out["sig"] == u64_to_i64(expect).tolist()
+    assert out["nvisited"] == 6  # untouched, matching the reference note

@@ -198,3 +198,56 @@ def test_batch_signatures_match_per_doc():
         expect, nv_expect = signature(t, cfg)
         assert i64_to_u64(np.array(sig_i64, dtype=np.int64)).tolist() == expect.tolist()
         assert nv == nv_expect
+
+
+def test_signature_with_ngrams_roundtrip():
+    """O5 ngram retention (reference make_elt): each retained ngram must
+    hash back to its sketch entry, and the sig must equal the plain path."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.sketch_np import (
+        signature,
+        signature_with_ngrams,
+    )
+    from mashing_pumpkins_spark.hashkernels import xxh64
+
+    cfg = SketchConfig(nsize=7, maxsize=16, hash_name="xxh64", seed=0)
+    data = ("the quick brown fox jumps over the lazy dog " * 9).encode()
+    sig, ngrams, nv = signature_with_ngrams(data, cfg)
+    plain_sig, plain_nv = signature(data, cfg)
+    assert sig.tolist() == plain_sig.tolist()
+    assert nv == plain_nv
+    assert len(ngrams) == sig.shape[0]
+    for h, g in zip(sig, ngrams):
+        assert len(g) == cfg.nsize
+        assert g in data  # really a document window
+        assert xxh64(g, cfg.seed) == int(h)
+    # empty doc
+    s, g, n = signature_with_ngrams(b"abc", cfg)
+    assert s.shape[0] == 0 and g == [] and n == 0
+
+
+def test_ngram_signature_udf_spark(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.sketch_np import signature_with_ngrams
+    from mashing_pumpkins_spark.hashkernels import u64_to_i64
+    from mashing_pumpkins_spark.operators.signature import make_ngram_signature_udf
+
+    cfg = SketchConfig(nsize=7, maxsize=8, hash_name="xxh64", seed=0)
+    texts = ["pack my box with five dozen liquor jugs " * 4, "", "naïve café " * 10]
+    df = spark.createDataFrame(pd.DataFrame({"url": ["a", "b", "c"], "text": texts}))
+    udf = make_ngram_signature_udf(cfg)
+    rows = {
+        r["url"]: r["s"]
+        for r in df.select("url", udf(F.col("text")).alias("s")).collect()
+    }
+    for url, text in zip(["a", "b", "c"], texts):
+        es, eg, en = signature_with_ngrams(text.encode(), cfg)
+        got = rows[url]
+        assert list(got["sig"]) == u64_to_i64(es).tolist()
+        assert [bytes(x) for x in got["ngrams"]] == eg
+        assert got["nvisited"] == en

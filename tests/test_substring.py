@@ -1,0 +1,98 @@
+"""Suffix-array-style substring dedup: minimizer guarantee + exact-set
+verification (operators/substring.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mashing_pumpkins_spark.operators.substring import (
+    _extend_match,
+    anchor_table,
+    minimizer_anchors,
+    substring_duplicate_pairs,
+)
+
+
+def _rand_bytes(rng, n):
+    return bytes(rng.integers(32, 127, size=n, dtype=np.uint8).tolist())
+
+
+def test_minimizer_anchors_are_content_defined():
+    """Two docs embedding the same region at different offsets must select
+    at least one identical anchor inside it (the winnowing guarantee)."""
+    rng = np.random.default_rng(5)
+    shared = _rand_bytes(rng, 64)
+    k, w = 32, 33  # min_len = k + w - 1 = 64
+    for trial in range(10):
+        a = _rand_bytes(rng, rng.integers(100, 400)) + shared + _rand_bytes(rng, rng.integers(100, 400))
+        b = _rand_bytes(rng, rng.integers(100, 400)) + shared + _rand_bytes(rng, rng.integers(100, 400))
+        pa, ha = minimizer_anchors(a, k, w)
+        pb, hb = minimizer_anchors(b, k, w)
+        common = set(ha.tolist()) & set(hb.tolist())
+        assert common, trial
+        # and a common anchor lies inside the shared region in both docs
+        ia, ib = a.index(shared), b.index(shared)
+        wins_a = {a[p : p + k] for p in pa if ia <= p <= ia + 64 - k}
+        wins_b = {b[p : p + k] for p in pb if ib <= p <= ib + 64 - k}
+        assert wins_a & wins_b, trial
+
+
+def test_minimizer_short_doc_single_anchor():
+    pos, h = minimizer_anchors(b"x" * 40, 32, 33)
+    assert pos.shape == (1,) and h.shape == (1,)
+
+
+def test_extend_match():
+    a = b"aaaaHELLOWORLDzzzz"
+    b = b"bbHELLOWORLDyy"
+    # seed: 4-byte match at a[4:8] == b[2:6] ("HELL")
+    assert _extend_match(a, b, 4, 2, 4) == len(b"HELLOWORLD")
+    assert _extend_match(a, a, 0, 0, 4) == len(a)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = np.random.default_rng(23)
+    shared_long = _rand_bytes(rng, 120).decode("latin-1")  # >= min_len
+    shared_short = _rand_bytes(rng, 40).decode("latin-1")  # < min_len
+    def noise(n):
+        return _rand_bytes(rng, n).decode("latin-1")
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            noise(200) + shared_long + noise(150),   # 0 <-> 1: long share
+            noise(180) + shared_long + noise(220),
+            noise(200) + shared_short + noise(200),  # 2 <-> 3: short only
+            noise(150) + shared_short + noise(250),
+            noise(400),                              # 4, 5: unrelated
+            noise(380),
+            shared_long + noise(100),                # 6: long share at offset 0
+            noise(50),                               # 7: shorter than min_len
+        ],
+    }
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_substring_pairs_exact_set(spark, planted_docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["max_match_len"]
+        for r in substring_duplicate_pairs(
+            planted_docs, min_len=64, k=32, anchor_df_cap=None
+        ).collect()
+    }
+    assert set(got) == {(0, 1), (0, 6), (1, 6)}, got
+    assert all(v >= 120 for v in got.values()), got
+
+
+def test_anchor_table_skips_short_docs(spark, planted_docs):
+    anchors = anchor_table(planted_docs, min_len=64, k=32)
+    ids = {r["id"] for r in anchors.select("id").distinct().collect()}
+    assert 7 not in ids  # 50 bytes < min_len: cannot hold a 64-byte match
+    assert {0, 1, 2, 3, 4, 5, 6} <= ids
+    # every anchored window must really be the doc's bytes at that position
+    rows = anchors.where(anchors.id == 0).collect()
+    text0 = planted_docs.where("doc_id = 0").first()["text"].encode("utf-8")
+    for r in rows:
+        assert text0[r["pos"] : r["pos"] + 32] == bytes(r["window"])
