@@ -295,8 +295,15 @@ def run_scaling() -> dict:
     factor = hi / lo
     results: dict = {"flow": {}, "checkpointed": {}}
     sketch_mb = {}
-    hw = {lo: _hw_probe(lo), hi: _hw_probe(hi)}
+    # kernel number FIRST: this host runs on CPU burst credits — after ~20
+    # minutes of sustained load everything measures up to 10x slow, so the
+    # single-core figure must be taken while fresh
+    kernel_mb = round(_kernel_throughput(), 2)
+    hw = {}
     for cpus in (lo, hi):
+        # hardware probe ADJACENT to this leg's runs (same credit state),
+        # so the normalized efficiency compares like with like
+        hw[cpus] = _hw_probe(cpus)
         # FRESH session per variant: the flow job persists the k=1000
         # signature/band tables (gigabytes) and measuring anything else in
         # the same JVM afterwards is memory/GC-contaminated (round-2 lesson:
@@ -327,7 +334,6 @@ def run_scaling() -> dict:
             _sketch_throughput(spark, _bench_corpus(BENCH_PAGES), cpus)[0], 2
         )
         spark.stop()
-    kernel_mb = round(_kernel_throughput(), 2)
     hw_ratio = round(hw[hi] / hw[lo], 3)
 
     def eff(mode: str) -> float:
@@ -356,6 +362,8 @@ def run_scaling() -> dict:
     norm_ck = round(
         out["checkpointed"]["scaling_efficiency"] / out["hw_scaling"], 3
     )
+    out["flow"]["normalized_efficiency"] = norm_flow
+    out["checkpointed"]["normalized_efficiency"] = norm_ck
     (bench_dir / "BASELINE.md").write_text(
         "# BENCH — throughput & scaling (sandbox evidence for the north rule)\n\n"
         "Same job (full near-dup pipeline: extract -> exact-dup collapse -> "

@@ -227,6 +227,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
+    n_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 hyperplane bucket across
     4 tables of 16 planes; exact cosine re-rank of candidates only.
@@ -234,7 +235,14 @@ def lsh_cosine_topk(
     Queries are collected once (they are the small side by construction):
     their buckets are computed driver-side with the same numpy kernel the
     executor UDF uses and broadcast into the bucket equi-join, so the big
-    vector table is scanned exactly once."""
+    vector table is scanned exactly once.
+
+    ``n_probe``: multi-probe (Lv et al., VLDB'07) — per table, ALSO probe
+    the n_probe buckets reached by flipping the query's lowest-|projection|
+    bits (the planes the query sits closest to, i.e. the likeliest sign
+    disagreements with a true neighbor). Query-side only and driver-cheap:
+    recall of extra tables at the candidate cost of a few extra bucket keys,
+    no change to the indexed side."""
     spark = vectors.sparkSession
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
@@ -249,14 +257,24 @@ def lsh_cosine_topk(
     # scale-invariant but keep the code path identical anyway)
     raw_q = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_sigs = _hyperplane_sigs(raw_q, planes)
+    bucket_rows = [
+        (int(q_ids[i]), int(s))
+        for i in range(q_ids.shape[0])
+        for s in q_sigs[i]
+    ]
+    if n_probe > 0:
+        n_tables = planes.shape[0]
+        for t in range(n_tables):
+            proj = raw_q @ planes[t].T  # (n_q, 16)
+            # planes with the smallest |margin| are the likeliest flips
+            weakest = np.argsort(np.abs(proj), axis=1)[:, :n_probe]
+            for i in range(q_ids.shape[0]):
+                base = int(q_sigs[i, t])
+                for b in weakest[i]:
+                    bucket_rows.append((int(q_ids[i]), base ^ (1 << int(b))))
     q_buckets = spark.createDataFrame(
-        [
-            (int(q_ids[i]), int(s))
-            for i in range(q_ids.shape[0])
-            for s in q_sigs[i]
-        ],
-        "query_id long, bucket long",
-    )
+        bucket_rows, "query_id long, bucket long"
+    ).distinct()
     udf = make_hyperplane_udf(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),

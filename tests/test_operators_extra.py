@@ -285,3 +285,90 @@ def test_streaming_sketch_aggregate(spark, tmp_path):
     expect = merge_signatures(s1, s2, cfg.maxsize).tolist()
     assert got == expect
     assert rows[0]["nvisited"] == nv1 + nv2
+
+
+def test_ann_lsh_multiprobe_beats_single_probe(spark):
+    """Multi-probe (flip weakest-margin bits) must recover planted twins a
+    single 16-plane table misses."""
+    rng = np.random.default_rng(31)
+    base = _random_unit_vectors(10, 32, 31)
+    planted = base + rng.standard_normal((10, 32)) * 0.15  # farther twins
+    planted = planted / np.linalg.norm(planted, axis=1, keepdims=True)
+    noise = _random_unit_vectors(150, 32, 33)
+    all_vecs = np.vstack([base, planted, noise])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(all_vecs)),
+            "embedding": [v.astype(np.float32).tolist() for v in all_vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 10)
+
+    def hits(n_probe):
+        out = lsh_cosine_topk(
+            df, queries, k=3, n_planes=16, n_probe=n_probe
+        ).collect()
+        top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+        return sum(1 for q in range(10) if top1.get(q) == q + 10)
+
+    h0, h4 = hits(0), hits(4)
+    assert h4 >= h0
+    assert h4 >= 8, (h0, h4)
+
+
+def test_streaming_near_dup_matches(spark, tmp_path):
+    """New pages streaming in are matched against the committed corpus
+    index (stream-static band join + exact verify)."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.config import PipelineConfig
+    from mashing_pumpkins_spark.operators.banding import band_table
+    from mashing_pumpkins_spark.operators.signature import sketch_table
+    from mashing_pumpkins_spark.streaming.near_dup_stream import (
+        streaming_near_dup_matches,
+    )
+
+    cfg = PipelineConfig(n_bands=32, rows_per_band=8, jaccard_threshold=0.8)
+    base = " ".join(f"word{i}" for i in range(400))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["c0", "c1", "c2"],
+                "text": [base, base.replace("word3 ", "word3x "), "completely " * 200],
+            }
+        )
+    )
+    static_sigs = sketch_table(corpus, cfg.sketch)
+    static_bands = band_table(static_sigs, cfg)
+    # persist the static index as parquet (the committed-stage shape)
+    sp, bp = str(tmp_path / "sigs"), str(tmp_path / "bands")
+    static_sigs.write.parquet(sp)
+    static_bands.write.parquet(bp)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "url": ["n0", "n1"],
+            "text": [base + " tail42", "unrelated " * 150],
+        }
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("url string, text string").parquet(str(src))
+    out = streaming_near_dup_matches(
+        stream, spark.read.parquet(sp), spark.read.parquet(bp), cfg
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from near_dup_stream_test").collect()
+    got = {(r["new_url"], r["match_url"]) for r in rows}
+    assert ("n0", "c0") in got, got
+    assert ("n0", "c1") in got, got
+    assert all(u != "n1" for u, _ in got), got
+    assert all(r["jaccard"] >= 0.8 for r in rows)
