@@ -195,6 +195,9 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "minhash_jaccard_estimate" if "0.01" in sf_dir else None,
         "pipeline_clusters",
         "simhash_pairs",
+        "substring_dup_pairs",
+        "sketch_sharded_stats",
+        "multi_sketch_one_pass",
         "word_ngram_jaccard",
         "lang_id",
         "quality_stats",

@@ -40,6 +40,27 @@ def test_band_join_is_equi_join(plan_frames):
     assert "Join" in plan
 
 
+def test_substring_dedup_plan_is_equi_join(spark):
+    """Anchor matching must be a hash/SMJ equi-join on anchor_hash — never
+    a cartesian/BNLJ over documents or anchors."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.substring import (
+        substring_duplicate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(6), "text": ["x" * 200 + f"tail{i}" for i in range(6)]}
+        )
+    )
+    out = substring_duplicate_pairs(docs, min_len=64, k=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "anchor_hash" in plan
+
+
 def test_ann_rerank_has_no_interpreted_vector_lambdas(spark):
     """The ANN re-rank must score candidates with numpy matmul inside
     mapInPandas, never Catalyst's interpreted zip_with/aggregate over the
