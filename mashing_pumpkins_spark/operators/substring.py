@@ -117,9 +117,10 @@ def anchor_table(
     return docs.select(id_col, text_col).mapInPandas(compute, ANCHOR_SCHEMA)
 
 
-def _extend_match(a: bytes, b: bytes, pa: int, pb: int, k: int) -> int:
-    """Length of the maximal common substring around the seed match
-    a[pa:pa+k] == b[pb:pb+k] (greedy byte extension both directions)."""
+def _extend_match(a: bytes, b: bytes, pa: int, pb: int, k: int) -> tuple[int, int]:
+    """(left_extension, total_length) of the maximal common substring around
+    the seed match a[pa:pa+k] == b[pb:pb+k] (greedy byte extension both
+    directions). The span in a is [pa-left, pa-left+total)."""
     left = 0
     while pa - left > 0 and pb - left > 0 and a[pa - left - 1] == b[pb - left - 1]:
         left += 1
@@ -131,32 +132,20 @@ def _extend_match(a: bytes, b: bytes, pa: int, pb: int, k: int) -> int:
         and a[pa + k + right] == b[pb + k + right]
     ):
         right += 1
-    return left + k + right
+    return left, left + k + right
 
 
-def substring_duplicate_pairs(
+def _verified_seeds(
     docs: DataFrame,
-    min_len: int = 64,
-    k: int = 32,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    anchor_df_cap: int | None = 10000,
+    min_len: int,
+    k: int,
+    id_col: str,
+    text_col: str,
+    anchor_df_cap: int | None,
 ) -> DataFrame:
-    """(id_a, id_b, max_match_len) for every doc pair sharing >= 1 exact
-    byte substring of length >= min_len — EXACTLY that set (the minimizer
-    guarantee finds every such pair; byte extension around each seed
-    discards anchor-level coincidences shorter than min_len).
-
-    max_match_len is the longest verified shared span seeded by any common
-    anchor (>= the true maximum is not guaranteed for spans that contain no
-    common anchor — impossible for spans >= min_len, so the >= min_len
-    filter is exact even though the reported length is seed-limited).
-
-    anchor_df_cap drops anchors shared by more than that many docs
-    (site-wide boilerplate — the pairs they would form are dominated by the
-    quadratic boilerplate clique, exactly the stop-gram situation); pass
-    None for the oracle-exact form.
-    """
+    """(id_a, start_a, id_b, start_b, match_len >= min_len): every maximal
+    common substring occurrence discovered from a shared minimizer anchor
+    and byte-verified by extension."""
     anchors = anchor_table(docs, min_len, k, id_col, text_col)
     if anchor_df_cap is not None:
         df_counts = anchors.groupBy("anchor_hash").agg(
@@ -190,7 +179,9 @@ def substring_duplicate_pairs(
     out_schema = StructType(
         [
             StructField("id_a", LongType()),
+            StructField("start_a", LongType()),
             StructField("id_b", LongType()),
+            StructField("start_b", LongType()),
             StructField("match_len", LongType()),
         ]
     )
@@ -208,22 +199,109 @@ def substring_duplicate_pairs(
             return got
 
         for pdf in batches:
-            lens = [
-                _extend_match(
+            sa, sb, ml = [], [], []
+            for ia, pa, ib, pb, ta, tb in zip(
+                pdf["id_a"], pdf["pos_a"], pdf["id_b"], pdf["pos_b"],
+                pdf["text_a"], pdf["text_b"],
+            ):
+                left, total = _extend_match(
                     enc(ia, ta), enc(ib, tb), int(pa), int(pb), k
                 )
-                for ia, pa, ib, pb, ta, tb in zip(
-                    pdf["id_a"], pdf["pos_a"], pdf["id_b"], pdf["pos_b"],
-                    pdf["text_a"], pdf["text_b"],
-                )
-            ]
+                sa.append(int(pa) - left)
+                sb.append(int(pb) - left)
+                ml.append(total)
             yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "match_len": lens}
+                {
+                    "id_a": pdf["id_a"],
+                    "start_a": sa,
+                    "id_b": pdf["id_b"],
+                    "start_b": sb,
+                    "match_len": ml,
+                }
             )
 
-    verified = withtext.mapInPandas(verify, out_schema)
-    return (
-        verified.where(F.col("match_len") >= min_len)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("match_len").alias("max_match_len"))
+    return withtext.mapInPandas(verify, out_schema).where(
+        F.col("match_len") >= min_len
     )
+
+
+def substring_duplicate_pairs(
+    docs: DataFrame,
+    min_len: int = 64,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_df_cap: int | None = 10000,
+) -> DataFrame:
+    """(id_a, id_b, max_match_len) for every doc pair sharing >= 1 exact
+    byte substring of length >= min_len — EXACTLY that set (the minimizer
+    guarantee finds every such pair; byte extension around each seed
+    discards anchor-level coincidences shorter than min_len).
+
+    max_match_len is the longest verified shared span seeded by any common
+    anchor (>= the true maximum is not guaranteed for spans that contain no
+    common anchor — impossible for spans >= min_len, so the >= min_len
+    filter is exact even though the reported length is seed-limited).
+
+    anchor_df_cap drops anchors shared by more than that many docs
+    (site-wide boilerplate — the pairs they would form are dominated by the
+    quadratic boilerplate clique, exactly the stop-gram situation); pass
+    None for the oracle-exact form.
+    """
+    seeds = _verified_seeds(docs, min_len, k, id_col, text_col, anchor_df_cap)
+    return seeds.groupBy("id_a", "id_b").agg(
+        F.max("match_len").alias("max_match_len")
+    )
+
+
+def _merge_intervals(spans: DataFrame) -> DataFrame:
+    """(doc_id, start, end) -> merged non-overlapping (doc_id, span_start,
+    span_end): gaps-and-islands with two JVM window passes."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "_new_island",
+        F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new_island").over(w))
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 64,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_df_cap: int | None = 10000,
+) -> DataFrame:
+    """(doc_id, span_start, span_end): the merged byte ranges of each
+    document that are part of an exact >= min_len substring shared with ANY
+    other document — the ranges a training-data substring-dedup pass cuts
+    (cf. Lee et al. 2022). Offsets are 0-based byte offsets into the UTF-8
+    encoding, end exclusive.
+
+    Set equality with the window oracle: a byte is covered by some shared
+    >= min_len substring occurrence iff it is covered by a shared min_len
+    window; every such occurrence contains a shared selected anchor (the
+    winnowing guarantee), whose extension recovers the maximal occurrence —
+    so the merged ranges equal the merged ranges of all shared min_len
+    windows.
+    """
+    seeds = _verified_seeds(docs, min_len, k, id_col, text_col, anchor_df_cap)
+    spans_a = seeds.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("start_a").alias("start"),
+        (F.col("start_a") + F.col("match_len")).alias("end"),
+    )
+    spans_b = seeds.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        (F.col("start_b") + F.col("match_len")).alias("end"),
+    )
+    return _merge_intervals(spans_a.union(spans_b))

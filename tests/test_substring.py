@@ -48,8 +48,10 @@ def test_extend_match():
     a = b"aaaaHELLOWORLDzzzz"
     b = b"bbHELLOWORLDyy"
     # seed: 4-byte match at a[4:8] == b[2:6] ("HELL")
-    assert _extend_match(a, b, 4, 2, 4) == len(b"HELLOWORLD")
-    assert _extend_match(a, a, 0, 0, 4) == len(a)
+    assert _extend_match(a, b, 4, 2, 4) == (0, len(b"HELLOWORLD"))
+    assert _extend_match(a, a, 0, 0, 4) == (0, len(a))
+    # seed in the middle: left extension reported
+    assert _extend_match(a, b, 8, 6, 4) == (4, len(b"HELLOWORLD"))
 
 
 @pytest.fixture(scope="module")
@@ -96,3 +98,49 @@ def test_anchor_table_skips_short_docs(spark, planted_docs):
     text0 = planted_docs.where("doc_id = 0").first()["text"].encode("utf-8")
     for r in rows:
         assert text0[r["pos"] : r["pos"] + 32] == bytes(r["window"])
+
+
+def test_duplicate_spans_planted(spark, planted_docs):
+    """Merged per-doc byte ranges of >= min_len shared substrings, checked
+    against a brute-force window-coverage oracle."""
+    from mashing_pumpkins_spark.operators.substring import duplicate_spans
+
+    got = {}
+    for r in duplicate_spans(planted_docs, min_len=64, k=32, anchor_df_cap=None).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for v in got.values():
+        v.sort()
+
+    # brute-force oracle: byte i of doc d covered iff some 64-byte window
+    # containing... equivalently window starting at j<=i<j+64 appears in
+    # another doc
+    texts = {
+        r["doc_id"]: r["text"].encode("utf-8") for r in planted_docs.collect()
+    }
+    L = 64
+    expect = {}
+    for d, t in texts.items():
+        windows_elsewhere = set()
+        for d2, t2 in texts.items():
+            if d2 == d or len(t2) < L:
+                continue
+            for j in range(len(t2) - L + 1):
+                windows_elsewhere.add(t2[j : j + L])
+        covered = np.zeros(len(t), dtype=bool)
+        for j in range(max(0, len(t) - L + 1)):
+            if t[j : j + L] in windows_elsewhere:
+                covered[j : j + L] = True
+        spans = []
+        i = 0
+        while i < len(t):
+            if covered[i]:
+                j = i
+                while j < len(t) and covered[j]:
+                    j += 1
+                spans.append((i, j))
+                i = j
+            else:
+                i += 1
+        if spans:
+            expect[d] = spans
+    assert got == expect, (got, expect)
