@@ -70,59 +70,128 @@ def make_band_keys_udf(cfg: PipelineConfig):
     """pandas UDF: sig array<bigint> -> array<bigint> of n_bands band keys.
 
     Empty/short signatures yield an empty array (no bands emitted).
+    Same kernel as band_table (_band_keys_from_values), so streaming and
+    batch band keys are identical by construction.
     """
-    a_params, b_params = _band_params(cfg)
-    n_bands, r = cfg.n_bands, cfg.rows_per_band
-    m = n_bands * r
-    kin = cfg.band_input_k
 
     @F.pandas_udf(ArrayType(LongType(), containsNull=False))
     def band_keys_udf(sig_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for sigs in sig_iter:
-            # bottom-kin prefix of each (ascending) sig is itself a KMV
-            # sketch — banding on it has the same match probability
+            n = len(sigs)
             lens = np.fromiter(
-                (0 if s is None else min(len(s), kin) for s in sigs),
+                (0 if s is None else len(s) for s in sigs),
                 dtype=np.int64,
-                count=len(sigs),
+                count=n,
             )
             if lens.sum() == 0:
-                yield pd.Series([[]] * len(sigs))
+                yield pd.Series([[]] * n)
                 continue
             flat = np.concatenate(
                 [
-                    np.asarray(s[:kin], dtype=np.int64).view(np.uint64)
+                    np.asarray(s, dtype=np.int64)
                     for s in sigs
                     if s is not None and len(s)
                 ]
-            )
+            ).view(np.uint64)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            nonempty = lens > 0
-            ne_starts = starts[nonempty]
-            n_ne = int(nonempty.sum())
-            comp = np.empty((n_ne, m), dtype=np.uint64)
-            for j in range(m):
-                y = flat * a_params[j] + b_params[j]
-                comp[:, j] = np.minimum.reduceat(y, ne_starts)
-            mixed = _fmix64(comp).reshape(n_ne, n_bands, r)
-            keys = np.zeros((n_ne, n_bands), dtype=np.uint64)
-            for rr in range(r):
-                keys = keys * _FNV ^ mixed[:, :, rr]
-            keys_i64 = keys.view(np.int64)
-            out: list = [[]] * len(sigs)
-            for row_idx, out_idx in enumerate(np.nonzero(nonempty)[0]):
-                out[int(out_idx)] = keys_i64[row_idx]
+            nonzero, keys = _band_keys_from_values(flat, starts, lens, cfg)
+            out: list = [[]] * n
+            for row_idx, out_idx in enumerate(nonzero):
+                out[int(out_idx)] = keys[row_idx]
             yield pd.Series(out)
 
     return band_keys_udf
 
 
+def _band_keys_from_values(
+    values_u64: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    cfg: PipelineConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nonempty_row_indices, keys int64[n_nonempty, n_bands]) from the
+    concatenated signature values of a batch (shared by the pandas UDF and
+    the Arrow band_table)."""
+    a_params, b_params = _band_params(cfg)
+    n_bands, r = cfg.n_bands, cfg.rows_per_band
+    m = n_bands * r
+    kin = cfg.band_input_k
+    keep = np.minimum(lens, kin)
+    nonzero = np.flatnonzero(keep > 0)
+    if nonzero.shape[0] == 0:
+        return nonzero, np.empty((0, n_bands), dtype=np.int64)
+    k_nz = keep[nonzero]
+    # gather the bottom-kin prefix of each doc out of the shared buffer
+    total = int(k_nz.sum())
+    base = np.repeat(starts[nonzero], k_nz)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(k_nz) - k_nz, k_nz
+    )
+    flat = values_u64[base + local]
+    ne_starts = np.concatenate(([0], np.cumsum(k_nz)[:-1]))
+    n_ne = nonzero.shape[0]
+    comp = np.empty((n_ne, m), dtype=np.uint64)
+    for j in range(m):
+        y = flat * a_params[j] + b_params[j]
+        comp[:, j] = np.minimum.reduceat(y, ne_starts)
+    mixed = _fmix64(comp).reshape(n_ne, n_bands, r)
+    keys = np.zeros((n_ne, n_bands), dtype=np.uint64)
+    for rr in range(r):
+        keys = keys * _FNV ^ mixed[:, :, rr]
+    return nonzero, keys.view(np.int64)
+
+
 def band_table(
     signatures: DataFrame, cfg: PipelineConfig, url_col: str = "url"
 ) -> DataFrame:
-    """signatures(url, sig) -> bands(url, band_id, band_key)."""
-    udf = make_band_keys_udf(cfg)
-    return (
-        signatures.select(url_col, udf(F.col("sig")).alias("band_keys"))
-        .select(url_col, F.posexplode("band_keys").alias("band_id", "band_key"))
+    """signatures(url, sig) -> bands(url, band_id, band_key).
+
+    mapInArrow end to end: signature values are read zero-copy out of the
+    Arrow ListArray (values + offsets), the m component minima of the whole
+    batch run as numpy reduceat passes, and the exploded (url, band_id,
+    band_key) rows are emitted directly — no per-doc Python lists in, no
+    array column + posexplode on the JVM side out. Docs with empty
+    signatures emit no rows (same as the old explode)."""
+    import pyarrow as pa
+    from typing import Iterator as _Iter
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    n_bands = cfg.n_bands
+    src = signatures.select(url_col, "sig")
+    out_schema = StructType(
+        [
+            StructField(url_col, src.schema[url_col].dataType),
+            StructField("band_id", IntegerType(), nullable=False),
+            StructField("band_key", LongType(), nullable=False),
+        ]
     )
+    band_id_tile = np.arange(n_bands, dtype=np.int32)
+
+    def compute(batches: _Iter[pa.RecordBatch]) -> _Iter[pa.RecordBatch]:
+        for rb in batches:
+            urls = rb.column(0)
+            col = rb.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64).view(np.uint64)
+            starts = offs[:-1]
+            lens = offs[1:] - starts
+            if col.null_count:
+                lens = np.where(np.asarray(col.is_valid()), lens, 0)
+            nonzero, keys = _band_keys_from_values(vals, starts, lens, cfg)
+            n_ne = nonzero.shape[0]
+            out_urls = urls.take(
+                pa.array(np.repeat(nonzero, n_bands), type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out_urls,
+                    pa.array(np.tile(band_id_tile, n_ne), pa.int32()),
+                    pa.array(keys.ravel(), pa.int64()),
+                ],
+                names=[url_col, "band_id", "band_key"],
+            )
+
+    return src.mapInArrow(compute, out_schema)
