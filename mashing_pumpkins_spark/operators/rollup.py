@@ -41,19 +41,7 @@ ROLLUP_SCHEMA = StructType(
 )
 
 
-def group_sketch_rollup(
-    docs: DataFrame,
-    cfg: SketchConfig,
-    group_col: str,
-    text_col: str = "text",
-) -> DataFrame:
-    """docs -> one merged sketch per group (sig, summed nvisited)."""
-    sigs = with_signature(
-        docs.select(F.col(group_col).cast("string").alias("group"), text_col),
-        cfg,
-        text_col,
-    ).select("group", "sig", "nvisited")
-
+def _make_merge_group(cfg: SketchConfig):
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.empty(0, dtype=np.uint64)
         nvisited = 0
@@ -69,4 +57,55 @@ def group_sketch_rollup(
             }
         )
 
-    return sigs.groupBy("group").applyInPandas(merge_group, ROLLUP_SCHEMA)
+    return merge_group
+
+
+def group_sketch_rollup(
+    docs: DataFrame,
+    cfg: SketchConfig,
+    group_col: str,
+    text_col: str = "text",
+    partial_shards: int = 0,
+) -> DataFrame:
+    """docs -> one merged sketch per group (sig, summed nvisited).
+
+    ``partial_shards`` > 0 enables the map-side-combine analog for skewed
+    groups: documents first merge within (group, shard) — shard = a hash of
+    the row spread over partial_shards buckets — then the per-shard partials
+    (k values each, tiny) merge per group. A group with millions of docs
+    becomes partial_shards parallel tasks + one k*partial_shards-row final
+    merge, instead of one giant task; associativity of the merge (O11/O12)
+    makes the result identical. 0 keeps the single-level plan (fine when
+    groups are balanced)."""
+    sigs = with_signature(
+        docs.select(F.col(group_col).cast("string").alias("group"), text_col),
+        cfg,
+        text_col,
+    ).select("group", "sig", "nvisited")
+    merge_group = _make_merge_group(cfg)
+    if partial_shards <= 0:
+        return sigs.groupBy("group").applyInPandas(merge_group, ROLLUP_SCHEMA)
+
+    # deterministic shard from row content (a non-deterministic id would
+    # break exactly-once semantics under task retry + partial recompute)
+    sharded = sigs.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64("group", "sig", "nvisited"), F.lit(partial_shards)),
+    )
+
+    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = merge_group(pdf)
+        out["_shard"] = pdf["_shard"].iloc[0]
+        return out
+
+    shard_schema = StructType(
+        ROLLUP_SCHEMA.fields + [StructField("_shard", LongType())]
+    )
+    partials = sharded.groupBy("group", "_shard").applyInPandas(
+        merge_shard, shard_schema
+    )
+    return (
+        partials.drop("_shard")
+        .groupBy("group")
+        .applyInPandas(merge_group, ROLLUP_SCHEMA)
+    )

@@ -82,3 +82,33 @@ def test_add_hashvalues_column(spark):
     )
     assert out["sig"] == u64_to_i64(expect).tolist()
     assert out["nvisited"] == 6  # untouched, matching the reference note
+
+
+def test_rollup_two_level_matches_single_level(spark):
+    """Map-side-combine analog: sharded partial merges + final merge must
+    equal the single-level rollup exactly (associativity), including summed
+    nvisited with duplicate documents in a hot group."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.rollup import group_sketch_rollup
+
+    cfg = SketchConfig(nsize=7, maxsize=32, hash_name="xxh64", seed=0)
+    rows = {"src": [], "text": []}
+    for i in range(120):  # hot group with duplicates
+        rows["src"].append("hot")
+        rows["text"].append(f"the quick brown fox {i % 10} jumps over")
+    for i in range(15):
+        rows["src"].append(f"cold{i % 3}")
+        rows["text"].append(f"pack my box with {i} dozen jugs")
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    one = {
+        r["group"]: (list(r["sig"]), r["nvisited"])
+        for r in group_sketch_rollup(docs, cfg, "src").collect()
+    }
+    two = {
+        r["group"]: (list(r["sig"]), r["nvisited"])
+        for r in group_sketch_rollup(docs, cfg, "src", partial_shards=8).collect()
+    }
+    assert one == two
+    assert "hot" in one and one["hot"][1] > 0
