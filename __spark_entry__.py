@@ -176,6 +176,21 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_substring_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup CLEANING pass: every duplicated >= 64-byte range
+    cut out of each doc. Oracle checks the per-doc removed-byte accounting
+    (span positions themselves are fully oracle'd by substring_dup_spans)."""
+    from mashing_pumpkins_spark.operators.substring import remove_duplicate_spans
+
+    return (
+        remove_duplicate_spans(
+            _docs(spark, sf_dir), min_len=64, k=32, anchor_df_cap=None
+        )
+        .select("doc_id", "removed_bytes")
+        .orderBy("doc_id")
+    )
+
+
 def q_shingle_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 (jaccard) through the whole sketch path, un-truncated so sketch
     Jaccard == true 21-char shingle-set Jaccard — full SQL value oracle."""
@@ -560,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resketch_union_stats": q_resketch_union_stats,
         "substring_dup_pairs": q_substring_dup_pairs,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_clean_stats": q_substring_clean_stats,
         "shingle_jaccard_exact": q_shingle_jaccard_exact,
         "similarity_estimators": q_similarity_estimators,
         "shingle_multiplicity": q_shingle_multiplicity,
@@ -710,6 +726,41 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, min(s)::bigint as span_start, max(e)::bigint as span_end
             from isl group by doc_id, island
             order by doc_id, span_start
+        """,
+        "substring_clean_stats": """
+            with win as (
+              select doc_id, i - 1 as start0, substr(hx, 2*i - 1, 128) as s
+              from (select doc_id, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 63)) as i
+                    from documents where octet_length(encode(text)) >= 64)
+            ),
+            shared as (
+              select distinct a.doc_id, a.start0
+              from win a join win b on a.s = b.s and a.doc_id != b.doc_id
+            ),
+            iv as (select doc_id, start0 as s, start0 + 64 as e from shared),
+            flagged as (
+              select doc_id, s, e,
+                     case when s > coalesce(max(e) over (
+                            partition by doc_id order by s, e
+                            rows between unbounded preceding and 1 preceding), -1)
+                          then 1 else 0 end as ni
+              from iv
+            ),
+            isl as (
+              select doc_id, s, e,
+                     sum(ni) over (partition by doc_id order by s, e
+                                   rows between unbounded preceding and current row) as island
+              from flagged
+            ),
+            merged as (
+              select doc_id, min(s) as s, max(e) as e
+              from isl group by doc_id, island
+            ),
+            cut as (select doc_id, sum(e - s) as removed from merged group by doc_id)
+            select d.doc_id, coalesce(c.removed, 0)::bigint as removed_bytes
+            from documents d left join cut c on c.doc_id = d.doc_id
+            order by d.doc_id
         """,
         "shingle_jaccard_exact": _SHINGLES_CTE
         + "select id_a, id_b, jaccard from jac where jaccard >= 0.8 order by id_a, id_b",

@@ -305,3 +305,72 @@ def duplicate_spans(
         (F.col("start_b") + F.col("match_len")).alias("end"),
     )
     return _merge_intervals(spans_a.union(spans_b))
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 64,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_df_cap: int | None = 10000,
+) -> DataFrame:
+    """The cleaning pass itself: (doc_id, text, removed_bytes) with every
+    duplicated >= min_len byte range cut out of the text (Lee et al. 2022's
+    ExactSubstr dedup applied, not just reported). Documents without
+    duplicated ranges pass through byte-identical, removed_bytes = 0.
+
+    Cuts happen on the UTF-8 byte axis; a span boundary can in principle
+    split a multibyte character (the byte-level divergence point sits
+    inside one), in which case the dangling partial character is dropped
+    (decode errors='ignore') — the alternative, keeping partial bytes,
+    would corrupt the string.
+    """
+    spans = duplicate_spans(docs, min_len, k, id_col, text_col, anchor_df_cap)
+    grouped = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    ).withColumnRenamed("doc_id", "_sid")
+    joined = docs.select(id_col, text_col).join(
+        grouped, F.col(id_col) == F.col("_sid"), "left"
+    ).drop("_sid")
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("text", docs.schema[text_col].dataType),
+            StructField("removed_bytes", LongType()),
+        ]
+    )
+
+    def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, removed = [], []
+            for text, spans_v in zip(pdf[text_col], pdf["_spans"]):
+                if spans_v is None or len(spans_v) == 0:
+                    outs.append(text)
+                    removed.append(0)
+                    continue
+                data = (
+                    text.encode("utf-8") if isinstance(text, str) else (text or b"")
+                )
+                kept = []
+                pos = 0
+                cut = 0
+                for sp in spans_v:
+                    s, e = int(sp["span_start"]), int(sp["span_end"])
+                    kept.append(data[pos:s])
+                    cut += e - s
+                    pos = e
+                kept.append(data[pos:])
+                outs.append(b"".join(kept).decode("utf-8", errors="ignore"))
+                removed.append(cut)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "text": outs,
+                    "removed_bytes": removed,
+                }
+            )
+
+    return joined.mapInPandas(clean, out_schema)

@@ -144,3 +144,39 @@ def test_duplicate_spans_planted(spark, planted_docs):
         if spans:
             expect[d] = spans
     assert got == expect, (got, expect)
+
+
+def test_remove_duplicate_spans(spark, planted_docs):
+    """Cleaning pass: duplicated ranges are cut, everything else is
+    byte-identical; removed_bytes accounts exactly."""
+    from mashing_pumpkins_spark.operators.substring import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    spans = {}
+    for r in duplicate_spans(planted_docs, min_len=64, k=32, anchor_df_cap=None).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    cleaned = {
+        r["doc_id"]: (r["text"], r["removed_bytes"])
+        for r in remove_duplicate_spans(
+            planted_docs, min_len=64, k=32, anchor_df_cap=None
+        ).collect()
+    }
+    original = {r["doc_id"]: r["text"] for r in planted_docs.collect()}
+    assert set(cleaned) == set(original)
+    for d, text in original.items():
+        got_text, removed = cleaned[d]
+        if d not in spans:
+            assert got_text == text and removed == 0, d
+            continue
+        data = text.encode("utf-8")
+        kept, pos = [], 0
+        for s, e in sorted(spans[d]):
+            kept.append(data[pos:s])
+            pos = e
+        kept.append(data[pos:])
+        assert got_text == b"".join(kept).decode("utf-8"), d
+        assert removed == sum(e - s for s, e in spans[d]), d
+        # the planted 120-byte shared block is gone
+        assert removed >= 120, d
