@@ -95,3 +95,21 @@ def test_signature_plan_prunes_columns(spark, tmp_path):
     assert "ReadSchema" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_sketch_table_arrow_null_and_empty_text(spark):
+    """The mapInArrow path must treat null/empty/short texts as empty
+    sketches (nvisited 0), like the pandas path's fillna did."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.signature import sketch_table
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "short"), ("d", "x" * 50)],
+        "url string, text string",
+    )
+    cfg = SketchConfig(nsize=21, maxsize=16, hash_name="xxh64", seed=0)
+    rows = {r["url"]: r for r in sketch_table(df, cfg).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    for u in ("a", "b", "c"):
+        assert list(rows[u]["sig"]) == [] and rows[u]["nvisited"] == 0, u
+    assert rows["d"]["nvisited"] == 30 and len(rows["d"]["sig"]) >= 1
