@@ -497,6 +497,27 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup clusters: exact cosine >= 0.4 pairs ->
+    connected components. Oracle: the same pairs in SQL + recursive-CTE
+    transitive closure (numeric-safe via zero-padded ids)."""
+    from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs
+    from mashing_pumpkins_spark.operators.connected_components import (
+        connected_components_auto,
+    )
+
+    pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 8, "0").alias("url_a"),
+        F.lpad(F.col("id_b").cast("string"), 8, "0").alias("url_b"),
+    )
+    clusters, _ = connected_components_auto(edges)
+    return clusters.select(
+        F.col("url").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    ).orderBy("vec_id")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mashing_pumpkins_spark.operators.ann import cosine_topk
 
@@ -593,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -944,6 +966,23 @@ def oracle_sql() -> dict[str, str]:
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
             order by id_a, id_b
+        """,
+        "embedding_dup_clusters": """
+            with edges as (
+              select a.vec_id as id_a, b.vec_id as id_b
+              from embeddings a join embeddings b on a.vec_id < b.vec_id
+              where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ),
+            sym as (select id_a u, id_b v from edges union select id_b, id_a from edges),
+            closure as (
+              with recursive walk(u, v) as (
+                select u, v from sym
+                union
+                select w.u, s.v from walk w join sym s on w.v = s.u where w.u != s.v
+              ) select * from walk
+            )
+            select u::bigint as vec_id, least(u, min(v))::bigint as cluster_id
+            from closure group by u order by vec_id
         """,
         "ann_topk": """
             select query_id, neighbor_id, cos_sim, rank from (

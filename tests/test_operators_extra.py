@@ -372,3 +372,66 @@ def test_streaming_near_dup_matches(spark, tmp_path):
     assert ("n0", "c1") in got, got
     assert all(u != "n1" for u, _ in got), got
     assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_streaming_windowed_stats_drops_late_data(spark, tmp_path):
+    """Watermarked window agg: once the watermark passes a window and its
+    state is evicted (append emission), a straggler row for that window is
+    dropped — the window is emitted exactly once with on-time rows only.
+    (Spark guarantees dropping only AFTER eviction; a late row arriving in
+    the same batch that evicts may still merge, so the straggler here lands
+    two batches later.)"""
+    import time as _time
+
+    import pandas as pd
+
+    from mashing_pumpkins_spark.streaming.windowed import (
+        streaming_windowed_doc_stats,
+    )
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+    d = "2026-01-01 "
+
+    def write(name, stamps, texts):
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime([d + s for s in stamps]).astype(
+                    "datetime64[us]"
+                ),
+                "text": texts,
+            }
+        ).to_parquet(src / name)
+        _time.sleep(1.1)  # file mtime ordering -> batch ordering
+
+    # batch 0: window [10:00,11:00) gets its on-time rows; 12:59 advances
+    # the watermark to 12:29 for the next batch
+    write("a.parquet", ["10:00:00", "10:30:00", "12:59:00"], ["aaaa", "bb", "cc"])
+    # batch 1: watermark 12:29 > 11:00 -> window [10,11) emits (n=2) and is
+    # evicted at end of this batch
+    write("b.parquet", ["13:05:00"], ["dd"])
+    # batch 2: 10:45 is a straggler for the EVICTED window -> dropped
+    write("c.parquet", ["10:45:00", "13:40:00"], ["LATE", "ee"])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_windowed_doc_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.sql("select * from win_stats_test").collect()
+        if str(r["window_start"]) == "2026-01-01 10:00:00"
+    ]
+    assert len(rows) == 1, rows  # emitted exactly once, never re-opened
+    assert rows[0]["n_docs"] == 2, "straggler 10:45 row must NOT count"
+    assert rows[0]["n_bytes"] == 6  # 'aaaa' + 'bb'
