@@ -164,7 +164,17 @@ def run_pipeline_flow(
 def _sketch_stage(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """sketch_table, or its sharded variant when the config bounds per-task
     input bytes (outlier 100MB+ pages: same sketch bit-for-bit, bounded
-    Arrow batches)."""
+    Arrow batches).
+
+    Partitioning: parquet re-reads plan splits by BYTES (maxPartitionBytes
+    file packing), but the sketch UDF is CPU-bound per byte — a checkpoint
+    snapshot that packs into fewer splits than cores would underparallelize
+    the most expensive stage. Repartition up only when that happens; at
+    production scale snapshots have thousands of splits and this is a
+    no-op (split planning only, no job)."""
+    par = reps.sparkSession.sparkContext.defaultParallelism * 2
+    if reps.rdd.getNumPartitions() < par:
+        reps = reps.repartition(par)
     if cfg.shard_chunk_bytes > 0:
         from ..operators.sharding import sketch_table_sharded
 
