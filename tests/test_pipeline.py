@@ -277,3 +277,13 @@ def test_pipeline_skew_star_linking(spark, tmp_path_factory):
     assert len(assign) == 300
     assert len(set(assign.values())) == 1
     assert report.star_buckets > 0  # skew was detected and logged, not silent
+
+
+def test_iceberg_store_requires_configured_catalog(spark):
+    """No Iceberg runtime in this container: the store must fail LOUDLY at
+    construction with an actionable message (the parquet store covers the
+    shared resume contract)."""
+    from mashing_pumpkins_spark.plans.iceberg import IcebergCheckpointStore
+
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.lake"):
+        IcebergCheckpointStore(spark, "lake.run1", "cafebabe")
