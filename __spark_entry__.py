@@ -527,13 +527,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (scale path) — rows-only; recall vs
-    exact asserted in tests."""
+    """Hyperplane-LSH approximate top-k with multi-probe (scale path) —
+    rows-only; recall vs exact asserted in tests (planted twins + probes)."""
     from mashing_pumpkins_spark.operators.ann import lsh_cosine_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return lsh_cosine_topk(emb, queries, k=5, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,3 +113,35 @@ def test_unknown_canonical_scheme_rejected():
     with pytest.raises(ValueError):
         doc_hashes(b"A" * 30, cfg)
     assert set(CANONICALIZERS) == {"none", "dna_rc"}
+
+
+def test_canonical_survives_sharding(spark):
+    """Window-local canonicalization + overlap sharding must compose: the
+    sharded canonical sketch equals the whole-sequence canonical sketch."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.sharding import sketch_table_sharded
+    from mashing_pumpkins_spark.operators.signature import sketch_table
+
+    rng = np.random.default_rng(41)
+    rows = {
+        "url": [f"s{i}" for i in range(6)],
+        "text": [
+            "".join(rng.choice(list("ACGT"), size=int(n)).tolist())
+            for n in rng.integers(30, 3000, size=6)
+        ],
+    }
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = SketchConfig(
+        nsize=15, maxsize=64, hash_name="mmh3_x64_128_low64", seed=42,
+        canonical="dna_rc",
+    )
+    plain = {
+        r["url"]: (list(r["sig"]), r["nvisited"])
+        for r in sketch_table(docs, cfg).collect()
+    }
+    sharded = {
+        r["url"]: (list(r["sig"]), r["nvisited"])
+        for r in sketch_table_sharded(docs, cfg, chunk_bytes=256).collect()
+    }
+    assert plain == sharded
