@@ -13,10 +13,11 @@ The headline metric is end-to-end docs/sec of the near-duplicate pipeline
 deterministic synthetic pages corpus (the north-rule workload), measured at
 the session's parallelism.
 
---scaling mode: runs the SAME pipeline job on the SAME corpus at local[2]
-and local[8] (N and 4N cores — chosen inside the range where this VM's
-vCPUs physically scale; see BENCH/BASELINE.md) and writes BENCH/BASELINE.md
-with throughput at both plus scaling efficiency (tp_4N / tp_N) / 4.
+--scaling mode: runs the SAME pipeline job on the SAME corpus at
+local[N] and local[4N] ($SPARK_GRAFT_SCALING_PAIR, default 1,4 — the pair
+where this VM's CPU quota actually provides 4x; see SCALING_PAIR comment)
+and writes BENCH/BASELINE.md with throughput at both, raw scaling
+efficiency (tp_4N / tp_N) / 4, and the hardware-probe-normalized figure.
 """
 
 from __future__ import annotations
@@ -144,7 +145,6 @@ def _kernel_throughput() -> float:
     import duckdb
 
     from mashing_pumpkins_spark.config import SketchConfig
-    from mashing_pumpkins_spark.functions.sketch_np import batch_signatures
 
     import numpy as np
 
