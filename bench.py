@@ -177,6 +177,13 @@ def _kernel_throughput() -> float:
 def run_default(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
 
+    # hardware context + single-core kernel FIRST (fresh): this VM runs on
+    # CPU burst credits and degrades up to 10x under sustained load — the
+    # probe numbers let any reader normalize the measurements below, and
+    # the kernel figure must not be taken after minutes of Spark load
+    hw_probe = {"1": _hw_probe(1), "4": _hw_probe(4)}
+    kernel_mb = round(_kernel_throughput(), 3)
+
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -225,7 +232,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "bench_pages": BENCH_PAGES,
         "pipeline_mb_per_sec": round(mb_per_sec, 3),
         "sketch_mb_per_sec": round(sketch_mb_per_sec[0], 3),
-        "kernel_mb_per_sec_single_core": round(_kernel_throughput(), 3),
+        "kernel_mb_per_sec_single_core": kernel_mb,
+        "hw_probe_mb_per_sec": hw_probe,
         "cpus": cpus,
     }
 
