@@ -42,15 +42,19 @@ def dice_similarity(a: Column, b: Column) -> Column:
     )
 
 
-def merge_sketch_arrays(a: Column, b: Column, k: int, minmax: str = "min") -> Column:
-    """Union-and-truncate of two signature arrays in UNSIGNED uint64 order —
-    the reference's associative sketch merge as a pure Column expression.
+def truncate_sketch_array(values: Column, k: int, minmax: str = "min") -> Column:
+    """Distinct-and-truncate an array of raw i64-bit-pattern hash values to a
+    bottom-k (or top-k) sketch in UNSIGNED uint64 order — the associative
+    merge's n-ary form as a pure Column expression (whole-stage codegen, no
+    Python). Feed it `flatten(collect_list(sig))` to merge any number of
+    sketches in one JVM aggregation.
 
     Sign-bit flip (x ^ bigint_min) maps unsigned order onto signed order, so
     array_sort sorts correctly; flip back after slicing.
     """
     flipped = F.transform(
-        F.array_union(a, b), lambda x: x.bitwiseXOR(F.lit(-9223372036854775808))
+        F.array_distinct(values),
+        lambda x: x.bitwiseXOR(F.lit(-9223372036854775808)),
     )
     ordered = F.array_sort(flipped)
     n = F.size(ordered)
@@ -61,6 +65,14 @@ def merge_sketch_arrays(a: Column, b: Column, k: int, minmax: str = "min") -> Co
             F.slice(ordered, n - F.lit(k) + F.lit(1), F.lit(k))
         )
     return F.transform(sliced, lambda x: x.bitwiseXOR(F.lit(-9223372036854775808)))
+
+
+def merge_sketch_arrays(a: Column, b: Column, k: int, minmax: str = "min") -> Column:
+    """Union-and-truncate of two signature arrays in UNSIGNED uint64 order —
+    the reference's associative sketch merge (O11,
+    /root/reference/src/minhashsketch.py:178-203) as a pure Column
+    expression."""
+    return truncate_sketch_array(F.array_union(a, b), k, minmax)
 
 
 def add_hashvalues(sig: Column, values: Column, k: int, minmax: str = "min") -> Column:

@@ -116,18 +116,31 @@ def sketch_table_sharded(
     sketch UDF so one outlier document's chunks run on many cores — the
     extra shuffle moves only the chunk bytes once and is the entire point
     of sharding; disable it when documents are known near-uniform.
+
+    Physical form (round-3 rework): chunks go through the SAME zero-copy
+    mapInArrow kernel as sketch_table (round 2 routed them through the
+    pandas list path + a per-group Python merge — measured 80x slower at
+    identical k, on the operator built for the largest documents), and the
+    per-url merge is ONE JVM aggregation: flatten(collect_list(sig)) →
+    distinct → unsigned-order truncate (truncate_sketch_array), nvisited
+    summed alongside. The shuffle moves only (url, k-array) partials;
+    no Python runs after the sketch kernel.
     """
-    from .rollup import group_sketch_rollup
+    from ..functions.estimators import truncate_sketch_array
+    from .signature import sketch_table
 
     chunks = shard_documents(pages, cfg, chunk_bytes, url_col, text_col)
     if spread:
         chunks = chunks.repartition(
             pages.sparkSession.sparkContext.defaultParallelism * 2
         )
-    rolled = group_sketch_rollup(chunks, cfg, "url", "payload")
-    # the rollup keys on a string-cast group; restore the caller's id type
-    return rolled.select(
-        F.col("group").cast(pages.schema[url_col].dataType).alias(url_col),
-        "sig",
-        "nvisited",
+    sigs = sketch_table(chunks, cfg, url_col="url", text_col="payload")
+    merged = sigs.groupBy("url").agg(
+        F.flatten(F.collect_list("sig")).alias("_cat"),
+        F.sum("nvisited").alias("nvisited"),
+    )
+    return merged.select(
+        F.col("url").alias(url_col),
+        truncate_sketch_array(F.col("_cat"), cfg.maxsize, cfg.minmax).alias("sig"),
+        F.col("nvisited").cast("long").alias("nvisited"),
     )
