@@ -16,15 +16,23 @@ content-defined anchor selection (winnowing / minimizers, Schleimer et al.
      sharing a substring of length >= k + w - 1 (= min_len) contain at
      least one full hash run in common and select the SAME anchor in both
      — an exact guarantee, not a probabilistic one,
-  3. shuffle anchors by (hash, window bytes) and equi-join; byte equality
-     makes hash collisions harmless,
+  3. shuffle anchors by hash and equi-join — anchors carry ONLY (id, pos,
+     hash), 24 bytes/row; window-byte equality (the hash-collision guard)
+     is checked later inside the extension UDF, which re-reads both texts
+     anyway,
   4. df-cap boilerplate anchors (exactly like stop-grams in the word-ngram
      operator) with the drop REPORTED, never silent.
 
 Scale shape: ~2/w anchors per input byte (tiny vs the text), one narrow
-shuffle keyed by anchor hash, no all-pairs anywhere. The DuckDB oracle
-explodes every min_len-byte window (hex form) and joins — exact equality
-with the Spark result at test scale.
+shuffle keyed by anchor hash, no all-pairs anywhere. Seeds are grouped per
+(id_a, id_b) BEFORE texts attach, so each text ships once per pair — not
+once per seed (near-identical docs share ~2L/w seeds; attaching texts per
+seed would re-create the quadratic blowup this module exists to avoid).
+Within a pair, seeds on one diagonal (pos_a - pos_b) that fall inside an
+already-extended maximal span provably extend to that same span and are
+skipped, so each maximal occurrence is verified and emitted exactly once.
+The DuckDB oracle explodes every min_len-byte window (hex form) and joins —
+exact equality with the Spark result at test scale.
 """
 
 from __future__ import annotations
@@ -36,7 +44,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
     LongType,
     StructField,
     StructType,
@@ -63,14 +70,17 @@ def minimizer_anchors(data: bytes, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     return sel, h[sel]
 
 
-ANCHOR_SCHEMA = StructType(
-    [
-        StructField("id", LongType()),
-        StructField("pos", LongType()),
-        StructField("anchor_hash", LongType()),
-        StructField("window", BinaryType()),
-    ]
-)
+def _anchor_schema(docs: DataFrame, id_col: str) -> StructType:
+    """(id, pos, anchor_hash) — id keeps the caller's dtype (string url,
+    bigint doc_id, ...); no window payload, the byte check happens in the
+    extension UDF."""
+    return StructType(
+        [
+            StructField("id", docs.schema[id_col].dataType),
+            StructField("pos", LongType()),
+            StructField("anchor_hash", LongType()),
+        ]
+    )
 
 
 def anchor_table(
@@ -80,7 +90,7 @@ def anchor_table(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, pos, anchor_hash, window bytes) minimizer anchors per doc.
+    """(id, pos, anchor_hash) minimizer anchors per doc.
 
     w is derived as min_len - k + 1 so the detection guarantee is exactly
     "any shared substring of >= min_len bytes is found"."""
@@ -90,10 +100,9 @@ def anchor_table(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
+            ids: list = []
             poss: list[int] = []
             hs: list[int] = []
-            wins: list[bytes] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 data = (
                     text.encode("utf-8") if isinstance(text, str) else (text or b"")
@@ -106,15 +115,14 @@ def anchor_table(
                 # extension verify below would under-measure
                 h_i64 = h.view(np.int64)
                 npos = pos.shape[0]
-                ids.extend([int(doc_id)] * npos)
+                ids.extend([doc_id] * npos)
                 poss.extend(pos.tolist())
                 hs.extend(h_i64.tolist())
-                wins.extend(data[p : p + k] for p in pos.tolist())
-            yield pd.DataFrame(
-                {"id": ids, "pos": poss, "anchor_hash": hs, "window": wins}
-            )
+            yield pd.DataFrame({"id": ids, "pos": poss, "anchor_hash": hs})
 
-    return docs.select(id_col, text_col).mapInPandas(compute, ANCHOR_SCHEMA)
+    return docs.select(id_col, text_col).mapInPandas(
+        compute, _anchor_schema(docs, id_col)
+    )
 
 
 def _extend_match(a: bytes, b: bytes, pa: int, pb: int, k: int) -> tuple[int, int]:
@@ -145,7 +153,18 @@ def _verified_seeds(
 ) -> DataFrame:
     """(id_a, start_a, id_b, start_b, match_len >= min_len): every maximal
     common substring occurrence discovered from a shared minimizer anchor
-    and byte-verified by extension."""
+    and byte-verified by extension — each maximal occurrence exactly once.
+
+    Seeds are aggregated to ONE row per (id_a, id_b) (collect_list of
+    position pairs) before texts attach, so each text crosses the shuffle
+    once per pair; the extension UDF then verifies all of a pair's seeds in
+    one call. Within a pair, seeds on the same diagonal (pos_a - pos_b)
+    whose k-byte window lies inside an already-extended maximal span must
+    extend to that same span (the span's boundary is a byte divergence, and
+    a genuine seed window cannot cross a divergence) — they are skipped,
+    which also dedupes the output. Seed windows are byte-compared before
+    extension: the hash-collision guard that previously rode the shuffle as
+    a k-byte window column."""
     anchors = anchor_table(docs, min_len, k, id_col, text_col)
     if anchor_df_cap is not None:
         df_counts = anchors.groupBy("anchor_hash").agg(
@@ -155,74 +174,83 @@ def _verified_seeds(
             df_counts.where(F.col("_df") <= anchor_df_cap), "anchor_hash"
         ).drop("_df")
     a = anchors.select(
-        "anchor_hash",
-        F.col("window").alias("win_a"),
-        F.col("id").alias("id_a"),
-        F.col("pos").alias("pos_a"),
+        "anchor_hash", F.col("id").alias("id_a"), F.col("pos").alias("pos_a")
     )
     b = anchors.select(
-        "anchor_hash",
-        F.col("window").alias("win_b"),
-        F.col("id").alias("id_b"),
-        F.col("pos").alias("pos_b"),
+        "anchor_hash", F.col("id").alias("id_b"), F.col("pos").alias("pos_b")
     )
-    seeds = (
+    pair_seeds = (
         a.join(b, "anchor_hash")
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("win_a") == F.col("win_b")))
-        .select("id_a", "pos_a", "id_b", "pos_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list(F.struct("pos_a", "pos_b")).alias("seeds"))
     )
     texts = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
     withtext = (
-        seeds.join(texts.withColumnRenamed("_tid", "id_a").withColumnRenamed("_t", "text_a"), "id_a")
-        .join(texts.withColumnRenamed("_tid", "id_b").withColumnRenamed("_t", "text_b"), "id_b")
+        pair_seeds.join(
+            texts.withColumnRenamed("_tid", "id_a").withColumnRenamed("_t", "text_a"),
+            "id_a",
+        ).join(
+            texts.withColumnRenamed("_tid", "id_b").withColumnRenamed("_t", "text_b"),
+            "id_b",
+        )
     )
+    id_type = docs.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
+            StructField("id_a", id_type),
             StructField("start_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_b", id_type),
             StructField("start_b", LongType()),
             StructField("match_len", LongType()),
         ]
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[int, bytes] = {}
-
-        def enc(doc_id: int, text) -> bytes:
-            got = cache.get(doc_id)
-            if got is None:
-                got = text.encode("utf-8") if isinstance(text, str) else (text or b"")
-                cache[doc_id] = got
-                if len(cache) > 1024:
-                    cache.clear()
-            return got
+        def enc(text) -> bytes:
+            return text.encode("utf-8") if isinstance(text, str) else (text or b"")
 
         for pdf in batches:
-            sa, sb, ml = [], [], []
-            for ia, pa, ib, pb, ta, tb in zip(
-                pdf["id_a"], pdf["pos_a"], pdf["id_b"], pdf["pos_b"],
-                pdf["text_a"], pdf["text_b"],
+            ia_o, ib_o, sa, sb, ml = [], [], [], [], []
+            for ia, ib, seeds, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["seeds"], pdf["text_a"], pdf["text_b"]
             ):
-                left, total = _extend_match(
-                    enc(ia, ta), enc(ib, tb), int(pa), int(pb), k
+                da, db = enc(ta), enc(tb)
+                pa_arr = np.fromiter(
+                    (s["pos_a"] for s in seeds), dtype=np.int64, count=len(seeds)
                 )
-                sa.append(int(pa) - left)
-                sb.append(int(pb) - left)
-                ml.append(total)
+                pb_arr = np.fromiter(
+                    (s["pos_b"] for s in seeds), dtype=np.int64, count=len(seeds)
+                )
+                # sort by (diagonal, pos_a) so same-span seeds are adjacent
+                diag = pa_arr - pb_arr
+                order = np.lexsort((pa_arr, diag))
+                cur_diag, covered_end = None, -1
+                for j in order:
+                    pa, pb, d = int(pa_arr[j]), int(pb_arr[j]), int(diag[j])
+                    if d == cur_diag and pa < covered_end:
+                        continue  # inside the previous maximal span
+                    if da[pa : pa + k] != db[pb : pb + k]:
+                        continue  # xxh64 collision — not a real seed
+                    left, total = _extend_match(da, db, pa, pb, k)
+                    cur_diag, covered_end = d, pa - left + total
+                    if total >= min_len:
+                        ia_o.append(ia)
+                        ib_o.append(ib)
+                        sa.append(pa - left)
+                        sb.append(pb - left)
+                        ml.append(total)
             yield pd.DataFrame(
                 {
-                    "id_a": pdf["id_a"],
-                    "start_a": sa,
-                    "id_b": pdf["id_b"],
-                    "start_b": sb,
-                    "match_len": ml,
+                    "id_a": ia_o,
+                    "start_a": np.asarray(sa, dtype=np.int64),
+                    "id_b": ib_o,
+                    "start_b": np.asarray(sb, dtype=np.int64),
+                    "match_len": np.asarray(ml, dtype=np.int64),
                 }
             )
 
-    return withtext.mapInPandas(verify, out_schema).where(
-        F.col("match_len") >= min_len
-    )
+    return withtext.mapInPandas(verify, out_schema)
 
 
 def substring_duplicate_pairs(

@@ -93,11 +93,37 @@ def test_anchor_table_skips_short_docs(spark, planted_docs):
     ids = {r["id"] for r in anchors.select("id").distinct().collect()}
     assert 7 not in ids  # 50 bytes < min_len: cannot hold a 64-byte match
     assert {0, 1, 2, 3, 4, 5, 6} <= ids
-    # every anchored window must really be the doc's bytes at that position
+    # every anchor hash must really be the xxh64 of the doc's bytes at that
+    # position (the window payload itself no longer rides the shuffle)
+    from mashing_pumpkins_spark.hashkernels import xxh64
+
     rows = anchors.where(anchors.id == 0).collect()
     text0 = planted_docs.where("doc_id = 0").first()["text"].encode("utf-8")
     for r in rows:
-        assert text0[r["pos"] : r["pos"] + 32] == bytes(r["window"])
+        expect = np.uint64(xxh64(text0[r["pos"] : r["pos"] + 32], 0))
+        assert np.int64(r["anchor_hash"]).view(np.uint64) == expect
+
+
+def test_substring_pairs_string_ids(spark, planted_docs):
+    """Caller id dtype flows through end to end: string ids (urls) must
+    work, and zero-padded numeric strings must NOT collide ('007' != '7')."""
+    from pyspark.sql import functions as F
+
+    urls = planted_docs.select(
+        F.concat(F.lit("https://x/"), F.lpad(F.col("doc_id").cast("string"), 3, "0")).alias("url"),
+        "text",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in substring_duplicate_pairs(
+            urls, min_len=64, k=32, id_col="url", anchor_df_cap=None
+        ).collect()
+    }
+    assert got == {
+        ("https://x/000", "https://x/001"),
+        ("https://x/000", "https://x/006"),
+        ("https://x/001", "https://x/006"),
+    }, got
 
 
 def test_duplicate_spans_planted(spark, planted_docs):
