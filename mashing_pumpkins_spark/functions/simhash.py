@@ -115,50 +115,114 @@ def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def _block_value(sh_col: str, shift: int, width: int) -> Column:
+    return F.shiftrightunsigned(sh_col, shift).bitwiseAND(F.lit((1 << width) - 1))
+
+
 def simhash_pairs_from_values(
-    sim: DataFrame, max_hamming: int = 8, id_col: str = "id", sh_col: str = "sh"
+    sim: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "id",
+    sh_col: str = "sh",
+    index: str = "auto",
 ) -> DataFrame:
-    """Near-dup pairs from precomputed simhash values.
+    """Near-dup pairs from precomputed simhash values. Both index modes are
+    LOSSLESS at the configured radius; exact hamming always verifies.
 
-    Pigeonhole blocking with n_blocks = max_hamming + 1 equal-width bit
-    blocks: a pair at hamming distance d <= max_hamming flips bits in at
-    most d blocks, so at least one block matches exactly — blocking is
-    lossless at the configured radius (the round-1 quarter scheme silently
-    dropped pairs at d in 4..8). Each block is an equi-join key (shuffle on
-    (block_id, block_value), never all-pairs); exact hamming verifies.
+    index="block": pigeonhole with n_blocks = max_hamming + 1 equal-width
+    bit blocks — a pair at distance d <= max_hamming flips bits in at most
+    d blocks, so at least one block matches exactly. Key width is
+    64/(d+1) bits: fine for the classic web-dedup radius (d<=3 -> 16-bit
+    keys) but at d=8 the keys are ~7 bits, so buckets hold n/128 of the
+    corpus and within-bucket pairing goes near-quadratic at web scale.
 
-    Scale note: block width is 64/(max_hamming+1) bits, so candidate-bucket
-    population grows as n/2^width — at large n keep max_hamming small
-    (d<=3 -> 16-bit blocks, the classic web-dedup setting) or pre-partition
-    by a coarser key.
+    index="pair": block-PAIR multi-index with n_blocks = max_hamming + 2 —
+    at distance d at least two blocks stay clean, so at least one of the
+    C(n_blocks, 2) block pairs matches on BOTH values. Keys are twice as
+    wide (~13 bits at d=8 -> buckets of n/7000), at the cost of
+    C(d+2, 2) exploded rows per doc instead of d+1. This is the
+    scale-safe default for radii >= 4.
+
+    index="auto" picks "pair" when single-block keys would be narrower
+    than 13 bits (max_hamming >= 4), else "block".
+
+    Dup-clique optimization (round 3): only DISTINCT sh values enter the
+    blocking join. A web corpus is dup-heavy by construction — every member
+    of an identical-sh clique used to ride the join under every key and be
+    deduplicated at the end; now cliques and cross-group pairs are expanded
+    from the (tiny) distinct-value pair set by two member joins, and the
+    wide final .distinct() disappears (distinctness holds by construction:
+    one row per value pair x member pair). Candidate volume becomes a
+    function of DISTINCT values, not documents.
     """
-    n_blocks = min(max_hamming + 1, 64)
-    blocks = sim.select(
-        F.col(id_col).alias("id"),
-        F.col(sh_col).alias("sh"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("q"),
-                        F.shiftrightunsigned(sh_col, shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("qv"),
-                    )
-                    for i, (shift, width) in enumerate(_block_bounds(n_blocks))
-                ]
+    if index == "auto":
+        index = "pair" if (64 // (max_hamming + 1)) < 13 else "block"
+    if index == "block":
+        n_blocks = min(max_hamming + 1, 64)
+        keys = [
+            F.struct(
+                F.lit(i).alias("q"), _block_value("sh", shift, width).alias("qv")
             )
-        ).alias("blk"),
-    ).select("id", "sh", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
-    a = blocks.select("q", "qv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = blocks.select("q", "qv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        a.join(b, ["q", "qv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+            for i, (shift, width) in enumerate(_block_bounds(n_blocks))
+        ]
+    elif index == "pair":
+        n_blocks = min(max_hamming + 2, 64)
+        bounds = _block_bounds(n_blocks)
+        keys = []
+        qid = 0
+        for i in range(n_blocks):
+            si, wi = bounds[i]
+            for j in range(i + 1, n_blocks):
+                sj, wj = bounds[j]
+                combined = F.shiftleft(
+                    _block_value("sh", si, wi), wj
+                ).bitwiseOR(_block_value("sh", sj, wj))
+                keys.append(
+                    F.struct(F.lit(qid).alias("q"), combined.alias("qv"))
+                )
+                qid += 1
+    else:
+        raise ValueError(f"unknown index mode: {index!r}")
+
+    members = sim.select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
+    values = members.select("sh").distinct()
+    keyed = values.select(
+        "sh", F.explode(F.array(*keys)).alias("blk")
+    ).select("sh", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
+    va = keyed.select("q", "qv", F.col("sh").alias("sh_a"))
+    vb = keyed.select("q", "qv", F.col("sh").alias("sh_b"))
+    value_pairs = (
+        va.join(vb, ["q", "qv"])
+        .where(F.col("sh_a") < F.col("sh_b"))
+        .select(
+            "sh_a",
+            "sh_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    ma = members.select(F.col("id").alias("_ida"), F.col("sh").alias("sh_a"))
+    mb = members.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    cross = (
+        value_pairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        ma.join(mb, F.col("sh_a") == F.col("sh_b"))
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def simhash_near_pairs(
@@ -168,15 +232,21 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     seed: int = 0,
     persist: bool = True,
+    index: str = "auto",
+    return_signatures: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: compute signatures (one vectorized UDF
-    pass), then lossless pigeonhole blocking + exact hamming verify — see
+    pass), then lossless multi-index blocking + exact hamming verify — see
     simhash_pairs_from_values.
 
     The blocking self-join consumes the signature table twice; by default
-    it is persisted so the text scan + simhash UDF run once (at scale you'd
-    materialize the signature table anyway — pass persist=False if the
-    caller already did)."""
+    it is persisted so the text scan + simhash UDF run once (verified: no
+    exchange reuse without it). CACHE CONTRACT: the persisted blocks live
+    until unpersisted — in a long-lived session, pass
+    ``return_signatures=True`` to get ``(pairs, signatures)`` and call
+    ``signatures.unpersist()`` once the pairs are materialized, or pass
+    ``persist=False`` if the caller already materialized a signature table
+    (the scale path: signatures are a checkpointed stage anyway)."""
     sim = docs.select(
         F.col(id_col).alias("id"), make_simhash_udf(seed)(F.col(text_col)).alias("sh")
     )
@@ -184,4 +254,5 @@ def simhash_near_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sim = sim.persist(StorageLevel.MEMORY_AND_DISK)
-    return simhash_pairs_from_values(sim, max_hamming=max_hamming)
+    pairs = simhash_pairs_from_values(sim, max_hamming=max_hamming, index=index)
+    return (pairs, sim) if return_signatures else pairs

@@ -135,6 +135,38 @@ def test_simhash_blocking_recovers_planted_pairs_up_to_max_hamming(spark):
     assert not missed, f"planted pairs missed: {missed}"
 
 
+def test_simhash_index_modes_equal(spark):
+    """The block-pair multi-index (scale-safe ~13-bit keys at d=8) must
+    produce EXACTLY the single-block pigeonhole pair set — both are lossless
+    at the radius, and the exact hamming verify makes them precision-1."""
+    import random
+
+    rng = random.Random(41)
+    to_i64 = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+    rows = []
+    next_id = 0
+    for _ in range(40):
+        base = rng.getrandbits(64)
+        rows.append((next_id, to_i64(base)))
+        next_id += 1
+        for d in (1, 4, 8, 9, 12):  # in-radius and out-of-radius mutants
+            m = base
+            for p in rng.sample(range(64), d):
+                m ^= 1 << p
+            rows.append((next_id, to_i64(m)))
+            next_id += 1
+    sim = spark.createDataFrame(rows, "id long, sh long")
+    block = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_values(sim, max_hamming=8, index="block").collect()
+    }
+    pair = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_values(sim, max_hamming=8, index="pair").collect()
+    }
+    assert block == pair and len(block) > 0
+
+
 def test_simhash_near_pairs_spark(spark):
     import random
 
