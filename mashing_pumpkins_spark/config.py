@@ -66,6 +66,15 @@ class PipelineConfig:
     # knob, but it changes stage row counts and thus participates in
     # config_hash like everything else.
     shard_chunk_bytes: int = 0
+    # verify phase-1 prefix width: the bottom-prefilter_k prefix of each
+    # signature estimates full-sketch Jaccard with sigma ~ sqrt(t(1-t)/K);
+    # pairs below tau - 6*sigma are dropped before the exact pass. The
+    # normal 6-sigma reading (~1e-9) overstates the guarantee — the
+    # Binomial(K, tau) tail at that cut is ~1e-7 per pair at K=64 — so for
+    # exactness-sensitive runs (the final edge set must be EXACTLY the
+    # tau-set with overwhelming probability at billions of candidates)
+    # raise this to 128-256; 64 keeps the join payload at 512B/side.
+    prefilter_k: int = 64
 
     def config_hash(self) -> str:
         # hash EVERY field: any output-affecting config change (band_input_k

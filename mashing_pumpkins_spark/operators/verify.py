@@ -5,23 +5,31 @@ Semantics: reference FrozenSketch.jaccard_similarity
 two retained sets, >= tau keeps the edge.
 
 Physical strategy (two-phase, exact):
-1. PREFILTER on the bottom-64 prefix of each signature. A KMV prefix is
-   itself a KMV sketch, so prefix-Jaccard estimates full-sketch Jaccard
-   with sigma = sqrt(s(1-s)/64) ~= 0.05; filtering at tau - 6*sigma keeps
-   every true >=tau pair with probability ~1-1e-9 while killing the bulk of
-   boilerplate-driven candidates (observed: ~95% of candidates at web-like
-   corpora sit far below tau, and at tau=0.8 the cut is 0.5). This cuts the
-   expensive join payload from k*8 bytes to 512 bytes per side — round-2
-   profiling showed the candidate-pair join payload, not the Jaccard UDF,
-   dominates the verify stage (1.9M candidates x 2 x k*8B through a
-   sort-merge join).
+1. PREFILTER on the bottom-K prefix of each signature (K =
+   PipelineConfig.prefilter_k, default 64). A KMV prefix is itself a KMV
+   sketch, so prefix-Jaccard estimates full-sketch Jaccard with sigma =
+   sqrt(s(1-s)/K) ~= 0.05 at K=64; filtering at tau - 6*sigma keeps a true
+   >=tau pair with per-pair false-drop probability ~1e-7 (the
+   Binomial(64, tau) tail — fatter than the ~1e-9 the normal approximation
+   suggests; raise prefilter_k to 128-256 when billions of candidates make
+   that tail matter) while killing the bulk of boilerplate-driven
+   candidates (observed: ~95% of candidates at web-like corpora sit far
+   below tau, and at tau=0.8 the cut is 0.5). This cuts the expensive join
+   payload from k*8 bytes to K*8 bytes per side — round-2 profiling showed
+   the candidate-pair join payload, not the Jaccard UDF, dominates the
+   verify stage (1.9M candidates x 2 x k*8B through a sort-merge join).
 2. EXACT pass on survivors with the full signatures — so the final edge set
    is exactly the tau-threshold set (phase 1 is only ever a superset
    filter; when maxsize <= 64 phase 1 IS exact and phase 2 is skipped).
 
-The Jaccard itself runs as a vectorized Arrow UDF (numpy set intersection):
-Catalyst's array_intersect is evaluated interpreted per element — measured
-94s for 240k pairs of 1000-element arrays vs seconds in numpy.
+The Jaccard itself runs as an Arrow UDF doing per-pair np.intersect1d.
+Alternatives measured (round 3, 20k pairs x 64-element sorted arrays):
+per-pair intersect1d 88ms, per-pair searchsorted 168ms, batched pandas
+merge 957ms, batched one-big-lexsort and (n,64,64) equality-broadcast far
+worse — for k<=256 sorted arrays the "vectorize the batch" refactors LOSE
+to the loop; numpy call overhead per pair (~4.4us) is already below Arrow
+transfer cost. Catalyst's array_intersect is worse still: interpreted per
+element, measured 94s for 240k pairs of 1000-element arrays.
 """
 
 from __future__ import annotations
@@ -37,7 +45,7 @@ from pyspark.sql.types import DoubleType
 
 from ..config import PipelineConfig
 
-PREFILTER_K = 64
+PREFILTER_K = 64  # default when the caller's PipelineConfig predates the knob
 
 
 @F.pandas_udf(DoubleType())
@@ -146,6 +154,7 @@ def verified_edges(
     count from the checkpoint manifest) — avoids spending an extra Spark job
     on a count that only picks the strategy."""
     tau = cfg.jaccard_threshold
+    prefilter_k = getattr(cfg, "prefilter_k", PREFILTER_K)
     sigs = signatures.select(F.col(url_col).alias("url"), "sig")
 
     n_urls = (
@@ -158,7 +167,7 @@ def verified_edges(
     if n_urls * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
         return _broadcast_verify(pairs, sigs, tau)
 
-    if cfg.sketch.maxsize <= PREFILTER_K:
+    if cfg.sketch.maxsize <= prefilter_k:
         # signatures already fit the prefilter width: one exact pass
         joined = _join_sigs(pairs.select("url_a", "url_b"), sigs)
         return (
@@ -167,9 +176,9 @@ def verified_edges(
             .select("url_a", "url_b", "jaccard")
         )
 
-    sigma = math.sqrt(tau * (1.0 - tau) / PREFILTER_K)
+    sigma = math.sqrt(tau * (1.0 - tau) / prefilter_k)
     pre_tau = max(0.0, tau - 6.0 * sigma)
-    prefixes = sigs.select("url", F.slice("sig", 1, PREFILTER_K).alias("sig"))
+    prefixes = sigs.select("url", F.slice("sig", 1, prefilter_k).alias("sig"))
     pre = _join_sigs(pairs.select("url_a", "url_b"), prefixes)
     survivors = (
         pre.withColumn("pj", _jaccard_udf("sig_a", "sig_b"))
