@@ -50,6 +50,28 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_stats_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k MaxSketch (reference MaxSketch,
+    /root/reference/src/minhashsketch.py:256-384) through the same driver
+    gate as sketch_stats: the top-64 retained set has the same cardinality
+    as the bottom-64 set (least(64, distinct windows)), so the sig-size /
+    nvisited oracle transfers verbatim — a full value oracle covering the
+    minmax='max' engine path end-to-end."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.signature import with_signature
+
+    cfg = SketchConfig(nsize=21, maxsize=64, hash_name="xxh64", seed=0, minmax="max")
+    return (
+        with_signature(_docs(spark, sf_dir).select("doc_id", "text"), cfg)
+        .select(
+            "doc_id",
+            F.size("sig").alias("sig_size"),
+            F.col("nvisited").alias("nvisited"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2/O6/O7 raw: the bit-compat bottom-k signature itself (k=8 kept
     small for the hash check); values depend on xxh64 -> rows-only oracle
@@ -202,13 +224,39 @@ def q_shingle_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production k=256 MinHash estimate of the same pairs (estimate ->
-    rows-only; accuracy asserted vs exact in tests)."""
+    """Production k=256 MinHash estimator, made CHECKABLE (round-3): for
+    every exact >= 0.8 pair, emit the exact shingle Jaccard (full
+    _SHINGLES_CTE value oracle) plus the estimator-contract boolean
+    |est - exact| <= 6*sqrt(exact*(1-exact)/256) + 1/256 (binomial
+    concentration of the k-min estimator, reference contract
+    /root/reference/src/minhashsketch.py:709-718). The oracle asserts the
+    boolean is TRUE for every pair — a broken estimator flips it and fails
+    the hash, unlike the previous rows-only form."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.estimators import jaccard_similarity
     from mashing_pumpkins_spark.operators.dedup import shingle_jaccard_pairs
+    from mashing_pumpkins_spark.operators.signature import with_signature
 
-    return shingle_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.8, exact=False, maxsize=256
-    ).orderBy("id_a", "id_b")
+    docs = _docs(spark, sf_dir)
+    exact_pairs = shingle_jaccard_pairs(docs, threshold=0.8, exact=True)
+    cfg = SketchConfig(nsize=21, maxsize=256, hash_name="xxh64", seed=0)
+    sigs = with_signature(docs.select("doc_id", "text"), cfg).select("doc_id", "sig")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = jaccard_similarity(F.col("sig_a"), F.col("sig_b"))
+    exact = F.col("jaccard")
+    tol = 6.0 * F.sqrt(exact * (F.lit(1.0) - exact) / F.lit(256.0)) + F.lit(1.0 / 256)
+    return (
+        exact_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            exact.alias("exact_jaccard"),
+            (F.abs(est - exact) <= tol).alias("est_ok"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_similarity_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +545,21 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-pair LSH (the SemDeDup scale path, round-3): hyperplane
+    buckets -> within-bucket candidates -> exact cosine >= 0.4. Run here as
+    the dense near-exhaustive index (2 bits x 64 tables: per-pair miss
+    probability < 1e-10 at cos 0.4), whose output provably equals the exact
+    threshold set — so the exact-pair SQL is a full value oracle of the
+    bucket/join/verify machinery. Production density (8 bits x 16 tables
+    at cos >= 0.9) is covered by the planted-recall test."""
+    from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.4, n_tables=64, bits_per_table=2
+    ).orderBy("id_a", "id_b")
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup clusters: exact cosine >= 0.4 pairs ->
     connected components. Oracle: the same pairs in SQL + recursive-CTE
@@ -539,21 +602,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (spherical k-means coarse quantizer) approximate top-k — the
-    third ANN physical strategy; rows-only (approximate), recall vs exact
-    asserted in tests."""
+    """IVF (spherical k-means coarse quantizer) top-k, made CHECKABLE
+    (round-3): probed exhaustively (n_probe = n_cells), the cell
+    assignment + cell equi-join + einsum re-rank machinery must reproduce
+    the exact top-k EXACTLY — a full value oracle (the ann_topk SQL
+    verbatim). Partial-probe recall (the approximate operating point) is
+    asserted by the planted-twin tests in tests/test_operators_extra.py."""
     from mashing_pumpkins_spark.operators.ann import ivf_cosine_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=4).orderBy(
+    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=16).orderBy(
         "query_id", "rank"
     )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing (decode stubbed): byte-histogram features over
-    the utf-8 payload of text, via mapInPandas — rows-only."""
+    the utf-8 payload of text, via mapInPandas. CHECKABLE (round-3): f0 is
+    the fraction of payload bytes with high nibble 0 (0x00-0x0F); those
+    bytes correspond 1:1 to code points U+0000-U+000F in UTF-8 (multibyte
+    sequences only use bytes >= 0x80), so DuckDB reproduces it by counting
+    control chars against octet_length — a full value oracle of the binary
+    feature plumbing."""
     from mashing_pumpkins_spark.operators.multimodal import extract_binary_features
 
     with_payload = _docs(spark, sf_dir).select(
@@ -592,6 +663,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sketch_stats": q_sketch_stats,
+        "sketch_stats_max": q_sketch_stats_max,
         "minhash_signature": q_minhash_signature,
         "sketch_sharded_stats": q_sketch_sharded_stats,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -616,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -662,6 +735,23 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "sketch_stats": """
+            with sh as (
+              select doc_id, substr(hx, 2*i - 1, 42) as s
+              from (select doc_id, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
+            )
+            select d.doc_id,
+                   coalesce(least(64, x.nd), 0)::int as sig_size,
+                   greatest(octet_length(encode(d.text)) - 20, 0)::bigint as nvisited
+            from documents d
+            left join (select doc_id, count(distinct s) as nd from sh group by 1) x
+              on x.doc_id = d.doc_id
+            order by d.doc_id
+        """,
+        # top-64 retains as many distinct values as bottom-64: the MaxSketch
+        # query shares sketch_stats' oracle verbatim
+        "sketch_stats_max": """
             with sh as (
               select doc_id, substr(hx, 2*i - 1, 42) as s
               from (select doc_id, hex(encode(text)) as hx,
@@ -788,6 +878,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shingle_jaccard_exact": _SHINGLES_CTE
         + "select id_a, id_b, jaccard from jac where jaccard >= 0.8 order by id_a, id_b",
+        # exact_jaccard is fully recomputed; est_ok asserts the k=256
+        # estimator concentration bound holds for every pair (the Spark side
+        # computes the real estimate and compares)
+        "minhash_jaccard_estimate": _SHINGLES_CTE
+        + """
+        select id_a, id_b, jaccard as exact_jaccard, true as est_ok
+        from jac where jaccard >= 0.8 order by id_a, id_b
+        """,
         "similarity_estimators": _SHINGLES_CTE
         + """
         select j.id_a, j.id_b, j.jaccard,
@@ -969,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
             where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
             order by id_a, id_b
         """,
+        # the dense (2-bit x 64-table) LSH index provably recovers every
+        # cos>=0.4 pair (per-pair miss < 1e-10, seed-deterministic), and the
+        # exact verify makes precision 1 — so the exact pair SQL is a full
+        # value oracle of the threshold-pair LSH machinery
+        "embedding_near_pairs_lsh": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cos_sim
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            order by id_a, id_b
+        """,
         "embedding_dup_clusters": """
             with edges as (
               select a.vec_id as id_a, b.vec_id as id_b
@@ -997,6 +1106,33 @@ def oracle_sql() -> dict[str, str]:
               from embeddings q join embeddings v on q.vec_id != v.vec_id
               where q.vec_id < 10
             ) where rank <= 5 order by query_id, rank
+        """,
+        # exhaustively probed IVF (n_probe = n_cells) must equal exact top-k:
+        # the ann_topk oracle verbatim
+        "ann_ivf": """
+            select query_id, neighbor_id, cos_sim, rank from (
+              select q.vec_id as query_id, v.vec_id as neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) as cos_sim,
+                     row_number() over (
+                       partition by q.vec_id
+                       order by round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) desc,
+                                v.vec_id asc) as rank
+              from embeddings q join embeddings v on q.vec_id != v.vec_id
+              where q.vec_id < 10
+            ) where rank <= 5 order by query_id, rank
+        """,
+        # f0 = fraction of payload bytes in 0x00-0x0F; in UTF-8 those bytes
+        # are exactly the code points U+0000-U+000F (continuation/multibyte
+        # bytes are >= 0x80), so a char-class count reproduces the byte count
+        "multimodal_features": r"""
+            select cast(doc_id as varchar) as url,
+                   octet_length(encode(text)) as payload_bytes,
+                   case when octet_length(encode(text)) > 0
+                        then round(len(regexp_extract_all(text, '[\x00-\x0f]'))::double
+                                   / octet_length(encode(text)), 6)
+                        else 0.0 end as f0,
+                   'html' as modality
+            from documents order by url
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,

@@ -386,6 +386,108 @@ def ivf_cosine_topk(
     return _rerank_topk(cand_ids, vectors, q_ids, q_mat, k, id_col, vec_col)
 
 
+def _hyperplane_sigs_wide(
+    mat: np.ndarray, n_tables: int, bits_per_table: int, seed: int
+) -> np.ndarray:
+    """(n, dim) -> (n, n_tables) int64 bucket signatures with a configurable
+    sign-pattern width — the pair-mode analog of _hyperplane_sigs (which is
+    fixed at 16 bits for the query-side top-k path)."""
+    rng = np.random.Generator(np.random.PCG64(seed ^ 0xE3B0_57A1))
+    planes = rng.standard_normal((n_tables, bits_per_table, mat.shape[1]))
+    sigs = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t].T > 0).astype(np.int64)
+        sigs[:, t] = (bits << np.arange(bits_per_table)).sum(axis=1) | (t << 32)
+    return sigs
+
+
+def embedding_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    n_tables: int = 16,
+    bits_per_table: int = 8,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Threshold-pair mode at scale: hyperplane buckets -> within-bucket
+    candidate pairs -> exact cosine >= threshold (SemDeDup-shaped; the
+    companion of embedding_near_dup_pairs, whose full-matrix broadcast is
+    the <=1e6-vector verification form).
+
+    Plan shape: one UDF pass buckets each vector into n_tables sign
+    patterns, candidates come from a bucket equi-self-join (ids only
+    through the shuffle), vectors re-attach via two equi-joins, and the
+    exact cosine runs as one einsum per Arrow batch — precision is exactly
+    1 (every emitted pair is verified), recall is the LSH collision
+    probability 1-(1-(1-theta/pi)^bits)^tables per pair; size
+    (bits_per_table, n_tables) for the operating threshold — e.g. (8, 16)
+    for SemDeDup at cos>=0.95, or (2, 64) as the dense near-exhaustive
+    index whose pair set provably equals the exact threshold set on
+    verification-scale data (the driver-gate form).
+
+    ``bucket_cap``: skew guard — buckets holding more than this many
+    vectors are dropped from candidate generation (a bucket of b vectors
+    contributes C(b,2) pairs; at web scale a degenerate bucket, e.g. the
+    all-zeros sign pattern of zero vectors, would dominate the join).
+    Dropped-bucket counts are the caller's to monitor via the returned
+    plan; pass None (default) for the exact-recall form.
+    """
+    spark = vectors.sparkSession
+    dim = len(vectors.select(vec_col).first()[0])
+
+    @F.pandas_udf(ArrayType(LongType(), containsNull=False))
+    def bucket_udf(vec_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in vec_iter:
+            mat = np.array(list(vecs), dtype=np.float64)
+            yield pd.Series(
+                _hyperplane_sigs_wide(mat, n_tables, bits_per_table, seed).tolist()
+            )
+
+    buckets = vectors.select(
+        F.col(id_col).alias("id"), F.explode(bucket_udf(F.col(vec_col))).alias("bucket")
+    )
+    if bucket_cap is not None:
+        sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            sizes.where(F.col("_n") <= bucket_cap), "bucket"
+        ).drop("_n")
+    a = buckets.select("bucket", F.col("id").alias("id_a"))
+    b = buckets.select("bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    withv = cand.join(va, "id_a").join(vb, "id_b")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ma = np.array(list(pdf["_va"]), dtype=np.float64)
+            mb = np.array(list(pdf["_vb"]), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            sims = np.einsum("ij,ij->i", ma, mb) / (na * nb)
+            keep = sims >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "cos_sim": np.round(sims[keep], 6),
+                }
+            )
+
+    return withv.mapInPandas(score, PAIR_SCHEMA)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -167,6 +167,79 @@ def test_simhash_index_modes_equal(spark):
     assert block == pair and len(block) > 0
 
 
+def test_embedding_pairs_lsh_planted_recall(spark):
+    """Threshold-pair LSH at production density (8 bits x 16 tables) must
+    recover planted high-cosine twins; the dense (2 x 64) index must equal
+    the exact pair set on the same data (the driver-gate form)."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.operators.ann import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(17)
+    dim = 64
+    rows = []
+    expected_twins = set()
+    vid = 0
+    for _ in range(30):
+        base = rng.standard_normal(dim)
+        twin = base + 0.08 * rng.standard_normal(dim)  # cos ~ 0.99
+        rows.append((vid, base.tolist()))
+        rows.append((vid + 1, twin.tolist()))
+        expected_twins.add((vid, vid + 1))
+        vid += 2
+    for _ in range(140):
+        rows.append((vid, rng.standard_normal(dim).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    prod = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.9, n_tables=16, bits_per_table=8
+        ).collect()
+    }
+    recall = len(prod & expected_twins) / len(expected_twins)
+    assert recall >= 0.95, recall
+
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    dense = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.9, n_tables=64, bits_per_table=2
+        ).collect()
+    }
+    assert dense == exact
+
+
+def test_embedding_pairs_lsh_bucket_cap(spark):
+    """bucket_cap drops degenerate buckets from candidate generation without
+    touching pairs found through healthy buckets."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs_lsh
+
+    rng = np.random.default_rng(9)
+    dim = 16
+    base = rng.standard_normal(dim)
+    rows = [(i, (base + 0.01 * rng.standard_normal(dim)).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # a 20-member near-identical cluster lands in one bucket per table:
+    # cap below 20 kills every candidate source
+    capped = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.9, n_tables=4, bits_per_table=4, bucket_cap=10
+    ).count()
+    uncapped = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.9, n_tables=4, bits_per_table=4
+    ).count()
+    assert capped == 0 and uncapped == 190
+
+
 def test_simhash_near_pairs_spark(spark):
     import random
 
