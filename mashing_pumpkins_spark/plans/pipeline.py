@@ -84,7 +84,7 @@ def run_pipeline(
     )
     reps = reps_and_edges.where(F.col("kind") == "rep").select("url", "text")
     exact_edges = reps_and_edges.where(F.col("kind") == "edge").select(
-        F.col("url").alias("url_a"), F.col("text").alias("url_b"), F.lit(1.0).alias("jaccard")
+        F.col("url").alias("url_a"), F.col("url_b"), F.lit(1.0).alias("jaccard")
     )
 
     signatures = stage("signatures", lambda: _sketch_stage(reps, cfg))
@@ -184,15 +184,22 @@ def _sketch_stage(reps: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def _exact_stage(docs: DataFrame) -> DataFrame:
     """Single-parquet encoding of (reps ∪ exact edges) so the exact stage is
-    one checkpointed snapshot: kind='rep' rows carry (url, text); kind='edge'
-    rows carry (url_a, url_b) in (url, text)."""
+    one checkpointed snapshot, with a self-describing schema: kind='rep'
+    rows carry (url, text) and a null url_b; kind='edge' rows carry
+    (url=url_a, url_b) and a null text. (Round 2 smuggled edge urls through
+    the text column; anyone reading the checkpoint parquet had to know the
+    pun — now the columns mean what they say.)"""
     reps, exact_edges = collapse_exact_duplicates(docs)
     rep_rows = reps.select(
-        F.lit("rep").alias("kind"), F.col("url"), F.col("text")
+        F.lit("rep").alias("kind"),
+        F.col("url"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("url_b"),
     )
     edge_rows = exact_edges.select(
         F.lit("edge").alias("kind"),
         F.col("url_a").alias("url"),
-        F.col("url_b").alias("text"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("url_b"),
     )
     return rep_rows.union(edge_rows)
