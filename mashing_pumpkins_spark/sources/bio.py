@@ -44,11 +44,24 @@ FASTQ_SCHEMA = StructType(
 
 
 def read_fasta(spark: SparkSession, path: str) -> DataFrame:
-    """(seq_id, description, sequence) per FASTA record, JVM-parsed."""
-    raw = spark.read.option("lineSep", ">").text(path)
-    rec = raw.select(F.regexp_replace("value", "\r", "").alias("v")).where(
-        F.length(F.trim(F.col("v"))) > 0
-    )
+    """(seq_id, description, sequence) per FASTA record, JVM-parsed.
+
+    Records split on '\\n>' — '>' only starts a record at line start; a
+    literal '>' may legally appear INSIDE a description line (NCBI-style
+    multi-header '>gi|..|ref>..'), and splitting on bare '>' would cut that
+    record mid-description. The file-leading '>' (not preceded by a
+    newline) yields one empty-prefix row that the non-empty filter drops.
+    """
+    raw = spark.read.option("lineSep", "\n>").text(path)
+    rec = raw.select(
+        F.regexp_replace(
+            # the first record keeps its leading '>'; later records lost
+            # theirs to the delimiter — normalize by stripping one if present
+            F.regexp_replace("value", "^>", ""),
+            "\r",
+            "",
+        ).alias("v")
+    ).where(F.length(F.trim(F.col("v"))) > 0)
     header = F.substring_index("v", "\n", 1)
     body = F.expr("substring(v, length(substring_index(v, '\\n', 1)) + 2)")
     return rec.select(

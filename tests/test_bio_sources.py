@@ -49,6 +49,20 @@ def test_read_fasta_records(spark, bio_dir):
     assert rows["seq3"]["sequence"] == "ACGT"
 
 
+def test_read_fasta_gt_inside_description(spark, tmp_path_factory):
+    """'>' is only a record start at line start — a literal '>' inside an
+    NCBI-style multi-header description must NOT split the record."""
+    d = tmp_path_factory.mktemp("bio_gt")
+    (d / "gt.fasta").write_text(
+        ">gi|123|ref>NC_0001.1| tricky >header\nACGTACGTAC\n>plain second\nTTTT\n"
+    )
+    rows = {r["seq_id"]: r for r in read_fasta(spark, str(d / "gt.fasta")).collect()}
+    assert set(rows) == {"gi|123|ref>NC_0001.1|", "plain"}
+    assert rows["gi|123|ref>NC_0001.1|"]["sequence"] == "ACGTACGTAC"
+    assert rows["gi|123|ref>NC_0001.1|"]["description"].endswith("tricky >header")
+    assert rows["plain"]["sequence"] == "TTTT"
+
+
 def test_read_fastq_records_incl_gzip(spark, bio_dir):
     for name in ("b.fastq", "b2.fastq.gz"):
         rows = {
