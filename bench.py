@@ -210,8 +210,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "quality_stats",
         "token_stats_by_lang",
         "embedding_near_pairs",
+        "embedding_near_pairs_lsh",
         "ann_topk",
         "ann_lsh",
+        "ann_ivf",
         "events_hourly",
         "multimodal_features",
     ]
@@ -221,6 +223,9 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         t0 = time.monotonic()
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+        # queries that persist intermediates (simhash signatures) must not
+        # leak cached blocks into the next measurement
+        spark.catalog.clearCache()
     spark.stop()
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
