@@ -3,10 +3,14 @@ per group (domain, source, language...).
 
 This is the reference's mergeable-aggregation story (O11/O12 union +
 nvisited sum, O28 associative reduce — /root/reference/src/minhashsketch.py
-:178-203, :330-384; parallel.py:42-53) as a Spark grouped aggregation:
-partial merges happen per partition inside applyInPandas, the shuffle moves
-one (group, partial) per partition — exactly the partial+final split the
-reference's multiprocessing reduce performs, but planned by Spark.
+:178-203, :330-384; parallel.py:42-53) as a Spark grouped aggregation.
+
+Physical form (round-3 rework, mirroring the sharding fix): per-doc
+sketches come from the zero-copy mapInArrow kernel (sketch_table — round 2
+used the pandas list path here), and the per-group merge is ONE JVM
+aggregation — flatten(collect_list(sig)) -> distinct -> unsigned-order
+truncate (truncate_sketch_array), nvisited summed alongside. No Python
+runs after the sketch kernel; the shuffle moves (group, k-array) rows.
 
 Because the merge is the truncated union of distinct hash sets, an
 UN-truncated rollup's sketch size equals the group's distinct-shingle count
@@ -15,49 +19,24 @@ UN-truncated rollup's sketch size equals the group's distinct-shingle count
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from ..config import SketchConfig
-from ..functions.sketch_np import merge_signatures
-from ..hashkernels import i64_to_u64, u64_to_i64
-from .signature import with_signature
-
-ROLLUP_SCHEMA = StructType(
-    [
-        StructField("group", StringType()),
-        StructField("sig", ArrayType(LongType(), containsNull=False)),
-        StructField("nvisited", LongType()),
-    ]
-)
+from ..functions.estimators import truncate_sketch_array
+from .signature import sketch_table
 
 
-def _make_merge_group(cfg: SketchConfig):
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.empty(0, dtype=np.uint64)
-        nvisited = 0
-        for sig, nv in zip(pdf["sig"], pdf["nvisited"]):
-            chunk = i64_to_u64(np.asarray(sig, dtype=np.int64))
-            acc = merge_signatures(acc, chunk, cfg.maxsize, cfg.minmax)
-            nvisited += int(nv)
-        return pd.DataFrame(
-            {
-                "group": [pdf["group"].iloc[0]],
-                "sig": [u64_to_i64(acc).tolist()],
-                "nvisited": [nvisited],
-            }
-        )
-
-    return merge_group
+def _merge_by(sigs: DataFrame, keys: list[str], cfg: SketchConfig) -> DataFrame:
+    merged = sigs.groupBy(*keys).agg(
+        F.flatten(F.collect_list("sig")).alias("_cat"),
+        F.sum("nvisited").alias("nvisited"),
+    )
+    return merged.select(
+        *keys,
+        truncate_sketch_array(F.col("_cat"), cfg.maxsize, cfg.minmax).alias("sig"),
+        F.col("nvisited").cast("long").alias("nvisited"),
+    )
 
 
 def group_sketch_rollup(
@@ -77,14 +56,10 @@ def group_sketch_rollup(
     merge, instead of one giant task; associativity of the merge (O11/O12)
     makes the result identical. 0 keeps the single-level plan (fine when
     groups are balanced)."""
-    sigs = with_signature(
-        docs.select(F.col(group_col).cast("string").alias("group"), text_col),
-        cfg,
-        text_col,
-    ).select("group", "sig", "nvisited")
-    merge_group = _make_merge_group(cfg)
+    src = docs.select(F.col(group_col).cast("string").alias("group"), text_col)
+    sigs = sketch_table(src, cfg, url_col="group", text_col=text_col)
     if partial_shards <= 0:
-        return sigs.groupBy("group").applyInPandas(merge_group, ROLLUP_SCHEMA)
+        return _merge_by(sigs, ["group"], cfg)
 
     # deterministic shard from row content (a non-deterministic id would
     # break exactly-once semantics under task retry + partial recompute)
@@ -92,20 +67,5 @@ def group_sketch_rollup(
         "_shard",
         F.pmod(F.xxhash64("group", "sig", "nvisited"), F.lit(partial_shards)),
     )
-
-    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = merge_group(pdf)
-        out["_shard"] = pdf["_shard"].iloc[0]
-        return out
-
-    shard_schema = StructType(
-        ROLLUP_SCHEMA.fields + [StructField("_shard", LongType())]
-    )
-    partials = sharded.groupBy("group", "_shard").applyInPandas(
-        merge_shard, shard_schema
-    )
-    return (
-        partials.drop("_shard")
-        .groupBy("group")
-        .applyInPandas(merge_group, ROLLUP_SCHEMA)
-    )
+    partials = _merge_by(sharded, ["group", "_shard"], cfg).drop("_shard")
+    return _merge_by(partials, ["group"], cfg)
