@@ -90,3 +90,30 @@ def test_ann_rerank_has_no_interpreted_vector_lambdas(spark):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "zip_with" not in plan and "aggregate(" not in plan, plan
         assert "CartesianProduct" not in plan
+
+
+def test_rollup_and_sharded_merge_stay_jvm_side(spark):
+    """Round-3 regression guard: the grouped sketch merges must not fall
+    back to per-group Python (FlatMapGroupsInPandas) or the pandas scalar
+    UDF path (ArrowEvalPython) — one Arrow kernel stage, JVM aggregation."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.rollup import group_sketch_rollup
+    from mashing_pumpkins_spark.operators.sharding import sketch_table_sharded
+    from mashing_pumpkins_spark.sources.synthetic import generate_pages
+
+    pages_pd, _ = generate_pages(50, seed=3)
+    pages = spark.createDataFrame(pages_pd)
+    cfg = SketchConfig(nsize=21, maxsize=64, hash_name="xxh64", seed=0)
+
+    rolled = group_sketch_rollup(pages, cfg, "url")
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("MapInArrow") == 1
+
+    sharded = sketch_table_sharded(pages, cfg, chunk_bytes=4096)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("MapInArrow") == 1  # the sketch kernel
+    assert plan.count("MapInPandas") == 1  # the chunk splitter
