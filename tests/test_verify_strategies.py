@@ -50,3 +50,30 @@ def test_broadcast_and_join_paths_agree(spark, docs_and_pairs, maxsize):
     assert b == j
     assert len(b) > 5  # fixture actually plants verifiable pairs
     assert all(x[2] >= 0.5 for x in b)
+
+
+def test_prefilter_k_knob_same_edges(spark, docs_and_pairs):
+    """The configurable prefilter width must not change the final edge set —
+    phase 1 is only ever a superset filter; wider K only tightens the
+    false-drop tail."""
+    docs, pairs = docs_and_pairs
+    cfg128 = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1000, hash_name="xxh64", seed=0),
+        jaccard_threshold=0.7,
+        prefilter_k=128,
+    )
+    cfg64 = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1000, hash_name="xxh64", seed=0),
+        jaccard_threshold=0.7,
+        prefilter_k=64,
+    )
+    sigs = sketch_table(docs, cfg128.sketch)
+    got128 = {
+        (r["url_a"], r["url_b"], r["jaccard"])
+        for r in verified_edges(pairs, sigs, cfg128, broadcast_cap_bytes=0).collect()
+    }
+    got64 = {
+        (r["url_a"], r["url_b"], r["jaccard"])
+        for r in verified_edges(pairs, sigs, cfg64, broadcast_cap_bytes=0).collect()
+    }
+    assert got128 == got64 and len(got64) > 0
