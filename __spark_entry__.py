@@ -453,6 +453,48 @@ def q_source_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_kmv_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimation (SURVEY §2.2 aggregation row): the
+    bottom-k sketch IS a distinct-count estimator, n_hat = (k-1)*2^64/h_(k).
+    Per source: the exact distinct-shingle count (full SQL oracle via the
+    un-truncated rollup — identical to source_sketch_rollup's semantics)
+    plus the k=256 estimator-contract boolean |n_hat/n - 1| <= 6/sqrt(k-2)
+    (KMV relative-error concentration, Bar-Yossef et al. 2002). The oracle
+    asserts the boolean TRUE — a broken estimator fails the value hash."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.rollup import group_sketch_rollup
+
+    docs = _docs(spark, sf_dir)
+    k = 256
+    cfg_k = SketchConfig(nsize=21, maxsize=k, hash_name="xxh64", seed=0)
+    cfg_exact = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    est_sketch = group_sketch_rollup(docs, cfg_k, "source").select(
+        "group", F.col("sig").alias("sig_k")
+    )
+    exact_sketch = group_sketch_rollup(docs, cfg_exact, "source").select(
+        "group", F.size("sig").alias("distinct_shingles")
+    )
+    # h_(k) as an unsigned double (sig is ascending in unsigned order)
+    h_k = F.element_at("sig_k", -1).cast("double")
+    h_k_unsigned = F.when(
+        F.element_at("sig_k", -1) < 0, h_k + F.lit(float(2**64))
+    ).otherwise(h_k)
+    n_hat = F.lit(float(k - 1)) * F.lit(float(2**64)) / h_k_unsigned
+    joined = exact_sketch.join(est_sketch, "group")
+    est_ok = F.when(
+        F.col("distinct_shingles") <= k,
+        F.size("sig_k") == F.col("distinct_shingles"),  # sketch not full: exact
+    ).otherwise(
+        F.abs(n_hat / F.col("distinct_shingles") - 1.0)
+        <= F.lit(6.0 / (k - 2) ** 0.5)
+    )
+    return joined.select(
+        F.col("group").alias("source"),
+        "distinct_shingles",
+        est_ok.alias("est_ok"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -682,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "pipeline_clusters": q_pipeline_clusters,
         "source_sketch_rollup": q_source_sketch_rollup,
+        "kmv_distinct_count": q_kmv_distinct_count,
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
         "fingerprint": q_fingerprint,
@@ -995,6 +1038,20 @@ def oracle_sql() -> dict[str, str]:
             select source,
                    count(distinct s)::int as distinct_shingles,
                    count(*)::bigint as nvisited
+            from sh group by source order by source
+        """,
+        # exact distinct count recomputed; est_ok asserts the KMV
+        # concentration bound holds per source
+        "kmv_distinct_count": """
+            with sh as (
+              select source, substr(hx, 2*i - 1, 42) as s
+              from (select source, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
+            )
+            select source,
+                   count(distinct s)::int as distinct_shingles,
+                   true as est_ok
             from sh group by source order by source
         """,
         "lang_id": f"""
