@@ -680,6 +680,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (CCNet/Dolma paragraph-dedup analog for
+    newline-free text): per-doc duplicated-passage fraction over
+    non-overlapping 16-word windows. Pure JVM; shuffle key is
+    md5(passage), never passage text."""
+    from mashing_pumpkins_spark.operators.corpus import passage_dedup_stats
+
+    return passage_dedup_stats(_docs(spark, sf_dir), passage_words=16)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    held-out set (doc_id % 10 == 0, the deterministic benchmark split).
+    Benchmark grams broadcast — the training-side scan never shuffles."""
+    from mashing_pumpkins_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, benchmark, n=4)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per doc: distinct-word
+    ratio, top-word mass, top-2-gram mass."""
+    from mashing_pumpkins_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix sampling (~10%) accounted per source —
+    the reproducible no-RNG subsampling primitive for 100 TB corpora."""
+    from mashing_pumpkins_spark.operators.corpus import hash_sample_stats
+
+    return hash_sample_stats(_docs(spark, sf_dir), threshold_hex="1999")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -737,6 +775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
+        "passage_dedup_stats": q_passage_dedup_stats,
+        "decontamination": q_decontamination,
+        "repetition_stats": q_repetition_stats,
+        "hash_sample_stats": q_hash_sample_stats,
         "events_hourly": q_events_hourly,
     }
 
@@ -1190,6 +1232,107 @@ def oracle_sql() -> dict[str, str]:
                         else 0.0 end as f0,
                    'html' as modality
             from documents order by url
+        """,
+        "passage_dedup_stats": r"""
+            with toks as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            p as (
+              select doc_id,
+                     md5(array_to_string(w[i*16+1:i*16+16], ' ')) as ph
+              from toks,
+                   unnest(generate_series(0, cast(ceil(len(w)/16.0) as int) - 1)) as t(i)
+              where len(w) > 0
+            ),
+            counts as (select ph, count(*) as cnt from p group by 1),
+            per_doc as (
+              select p.doc_id, count(*) as n_passages,
+                     sum(case when cnt > 1 then 1 else 0 end) as n_dup_passages
+              from p join counts using (ph) group by 1
+            )
+            select d.doc_id,
+                   coalesce(n_passages, 0)::bigint as n_passages,
+                   coalesce(n_dup_passages, 0)::bigint as n_dup_passages,
+                   case when coalesce(n_passages, 0) > 0
+                        then round(n_dup_passages::double / n_passages::double, 6)
+                        else 0.0 end as dup_frac
+            from documents d left join per_doc using (doc_id)
+            order by d.doc_id
+        """,
+        "decontamination": r"""
+            with toks as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            grams as (
+              select doc_id, dg.g
+              from toks,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 3, 0)),
+                     i -> array_to_string(w[i:i+3], ' ')))) as dg(g)
+            ),
+            bench as (select distinct g from grams where doc_id % 10 = 0),
+            hits as (
+              select g2.doc_id, count(*) as n_overlap
+              from grams g2 join bench using (g)
+              where g2.doc_id % 10 <> 0 group by 1
+            )
+            select d.doc_id,
+                   coalesce(n_overlap, 0)::bigint as n_overlap,
+                   (coalesce(n_overlap, 0) > 0)::int as contaminated
+            from documents d left join hits using (doc_id)
+            where d.doc_id % 10 <> 0
+            order by d.doc_id
+        """,
+        "repetition_stats": r"""
+            with toks as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            wc as (
+              select doc_id, sum(c) as n_words, count(*) as n_distinct,
+                     max(c) as top_word
+              from (select doc_id, t.t, count(*) as c
+                    from toks, unnest(w) as t(t) group by 1, 2)
+              group by 1
+            ),
+            gc as (
+              select doc_id, sum(c) as n_grams2, max(c) as top_gram2
+              from (select doc_id, g.g, count(*) as c
+                    from toks,
+                         unnest(list_transform(
+                           generate_series(1, greatest(len(w) - 1, 0)),
+                           i -> array_to_string(w[i:i+1], ' '))) as g(g)
+                    group by 1, 2)
+              group by 1
+            )
+            select d.doc_id,
+                   coalesce(n_words, 0)::bigint as n_words,
+                   case when coalesce(n_words, 0) > 0
+                        then round(n_distinct::double / n_words::double, 6)
+                        else 0.0 end as distinct_word_ratio,
+                   case when coalesce(n_words, 0) > 0
+                        then round(top_word::double / n_words::double, 6)
+                        else 0.0 end as top_word_frac,
+                   case when coalesce(n_grams2, 0) > 0
+                        then round(top_gram2::double / n_grams2::double, 6)
+                        else 0.0 end as top_2gram_frac
+            from documents d
+            left join wc using (doc_id) left join gc using (doc_id)
+            order by d.doc_id
+        """,
+        "hash_sample_stats": """
+            select source,
+                   count(*) as n_docs,
+                   sum((substr(md5(text), 1, 4) < '1999')::int)::bigint as n_sampled
+            from documents group by source order by source
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,

@@ -1,0 +1,263 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Four operators a 100 TB curation run needs beyond near-dup detection,
+each pure JVM Column expressions (no Python UDFs anywhere) with exact
+ANSI-SQL equivalents so the DuckDB oracle can replay every value:
+
+- passage-level exact dedup (fixed word-window "passages"; the
+  CCNet/Dolma paragraph-dedup analog for newline-free text)
+- benchmark decontamination (word n-gram overlap vs a held-out set,
+  the Llama/GPT eval-contamination check)
+- repetition statistics (Gopher-style quality signals: top-word /
+  top-2-gram mass, distinct-word ratio)
+- deterministic hash sampling (md5-prefix threshold; reproducible
+  corpus subsampling with no RNG state)
+
+Scale notes (100 TB):
+- passage dedup shuffles md5(passage) (32 hex chars), never passage
+  text; one groupBy + one equi-join, both map-side combinable.
+- decontamination broadcasts the benchmark n-gram set — benchmark
+  suites are tiny (MMLU ~10^6 grams) so the eval-side scan never
+  shuffles; for 10^9-gram blocklists swap the broadcast for a bloom
+  filter with the same join shape.
+- repetition stats: explode + two-level groupBy keyed by doc_id;
+  Catalyst's partial aggregation keeps the shuffle at one row per
+  (doc, distinct word).
+- hash sampling is a stateless filter — full predicate pushdown, no
+  shuffle, reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words_array(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty array for blank text."""
+    trimmed = F.lower(F.trim(text))
+    return F.when(F.length(trimmed) > 0, F.split(trimmed, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_gram_array(w: Column, n: int) -> Column:
+    """Overlapping word n-grams joined by single spaces (empty when
+    fewer than n words) — same guard as dedup.word_ngram_jaccard_pairs."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def passage_array(w: Column, passage_words: int) -> Column:
+    """Non-overlapping windows of `passage_words` words (last window may
+    be shorter). The paragraph analog for text without line structure."""
+    n_pass = F.ceil(F.size(w) / F.lit(float(passage_words))).cast("int")
+    return F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_pass - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * passage_words + 1, passage_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def passage_dedup_stats(
+    docs: DataFrame,
+    passage_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc passage duplication: (id, n_passages, n_dup_passages,
+    dup_frac), where a passage instance is "dup" when its text occurs
+    more than once corpus-wide (including repeats inside one doc).
+
+    The shuffle key is md5(passage) — fixed 32 bytes regardless of
+    passage length, so the global count groupBy and the count join
+    stay narrow at any document size."""
+    ids = docs.select(F.col(id_col).alias("id"))
+    p = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(passage_array(words_array(F.col(text_col)), passage_words)).alias(
+            "passage"
+        ),
+    ).select("id", F.md5(F.encode(F.col("passage"), "utf-8")).alias("ph"))
+    counts = p.groupBy("ph").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        p.join(counts, "ph")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_passages"),
+        )
+    )
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
+            F.when(
+                F.coalesce("n_passages", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_passages").cast("double")
+                    / F.col("n_passages").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training docs sharing any word n-gram with a benchmark set:
+    (id, n_overlap, contaminated) for every doc in `docs`, where
+    n_overlap counts the doc's DISTINCT n-grams that appear anywhere in
+    `benchmark`.
+
+    The benchmark gram set is broadcast (eval suites are small); the
+    training side is scanned once with no shuffle before the final
+    per-doc count."""
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_gram_array(words_array(F.col(text_col)), n)).alias("g"),
+    ).distinct()
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_gram_array(words_array(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "g").groupBy("id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc: word count, distinct-word
+    ratio, mass of the most frequent word, and mass of the most frequent
+    word 2-gram (each rounded to 6 places).
+
+    explode → groupBy(doc, term) → groupBy(doc): the wide explode never
+    shuffles raw text, and partial aggregation collapses it to one row
+    per (doc, distinct term) before the exchange."""
+    base = docs.select(
+        F.col(id_col).alias("id"), words_array(F.col(text_col)).alias("w")
+    )
+    wc = (
+        base.select("id", F.explode("w").alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_word"),
+        )
+    )
+    gc = (
+        base.select("id", F.explode(word_gram_array(F.col("w"), 2)).alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_grams2"), F.max("c").alias("top_gram2"))
+    )
+    return (
+        base.select("id")
+        .join(wc, "id", "left")
+        .join(gc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_distinct").cast("double")
+                    / F.col("n_words").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("distinct_word_ratio"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                F.round(
+                    F.col("top_word").cast("double") / F.col("n_words").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_word_frac"),
+            F.when(
+                F.coalesce("n_grams2", F.lit(0)) > 0,
+                F.round(
+                    F.col("top_gram2").cast("double")
+                    / F.col("n_grams2").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_2gram_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def hash_sample_flag(text: Column, threshold_hex: str = "1999") -> Column:
+    """Deterministic sampling flag: 1 iff the first len(threshold_hex)
+    hex chars of md5(text) compare below `threshold_hex`. Lowercase
+    fixed-width hex compares lexicographically == numerically, and md5
+    is identical across Spark and DuckDB, so the sample is reproducible
+    everywhere ('1999' ≈ 0x1999/0x10000 ≈ 10%)."""
+    t = threshold_hex.lower()
+    if not t or any(c not in "0123456789abcdef" for c in t):
+        raise ValueError(f"threshold_hex must be nonempty hex, got {threshold_hex!r}")
+    prefix = F.substring(F.md5(F.encode(text, "utf-8")), 1, len(t))
+    return (prefix < F.lit(t)).cast("int")
+
+
+def hash_sample_stats(
+    docs: DataFrame,
+    threshold_hex: str = "1999",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group sample accounting for a deterministic md5-prefix sample:
+    (group, n_docs, n_sampled). Stateless filter → full pushdown, no RNG,
+    byte-identical across runs and cluster sizes."""
+    return (
+        docs.select(
+            F.col(group_col),
+            hash_sample_flag(F.col(text_col), threshold_hex).alias("s"),
+        )
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("s").alias("n_sampled"))
+        .orderBy(group_col)
+    )

@@ -1,0 +1,129 @@
+"""Corpus-curation operators: passage dedup, decontamination, repetition
+stats, deterministic hash sampling — value semantics + plan guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mashing_pumpkins_spark.operators.corpus import (
+    decontaminate,
+    hash_sample_flag,
+    hash_sample_stats,
+    passage_dedup_stats,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_passage_dedup_counts_and_fractions(spark):
+    # 40 words -> 3 passages of 16/16/8; doc 2 repeats doc 1's text exactly;
+    # doc 3 is unique
+    words = " ".join(f"w{i}" for i in range(40))
+    unique = " ".join(f"u{i}" for i in range(20))
+    out = passage_dedup_stats(
+        _docs(spark, [(1, words, "s"), (2, words, "s"), (3, unique, "s")]),
+        passage_words=16,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_passages == 3 and by_id[1].n_dup_passages == 3
+    assert by_id[1].dup_frac == 1.0 and by_id[2].dup_frac == 1.0
+    assert by_id[3].n_passages == 2 and by_id[3].n_dup_passages == 0
+
+
+def test_passage_dedup_counts_repeats_within_one_doc(spark):
+    # a 16-word passage repeated twice inside ONE doc is corpus-duplicated
+    p = " ".join(f"x{i}" for i in range(16))
+    out = passage_dedup_stats(
+        _docs(spark, [(1, p + " " + p, "s")]), passage_words=16
+    ).collect()
+    assert out[0].n_passages == 2 and out[0].n_dup_passages == 2
+
+
+def test_decontaminate_flags_shared_ngrams_only(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon", "b")])
+    train = _docs(
+        spark,
+        [
+            (1, "zzz alpha beta gamma delta yyy", "t"),  # shares 4-gram
+            (2, "alpha beta qqq gamma delta", "t"),  # shares words, no 4-gram
+            (3, "totally different words here now", "t"),
+        ],
+    )
+    out = {r.doc_id: r for r in decontaminate(train, bench, n=4).collect()}
+    assert out[1].contaminated == 1 and out[1].n_overlap == 1
+    assert out[2].contaminated == 0 and out[3].contaminated == 0
+
+
+def test_decontaminate_counts_distinct_overlaps(spark):
+    # the shared 4-gram appears twice in the train doc but counts once
+    bench = _docs(spark, [(100, "a b c d", "b")])
+    train = _docs(spark, [(1, "a b c d x a b c d", "t")])
+    out = decontaminate(train, bench, n=4).collect()
+    assert out[0].n_overlap == 1
+
+
+def test_repetition_stats_hand_computed(spark):
+    # words: a a a b -> n=4, distinct=2, top word a=3
+    # 2-grams: "a a","a a","a b" -> top "a a"=2 of 3
+    out = repetition_stats(_docs(spark, [(1, "a a a b", "s")])).collect()[0]
+    assert out.n_words == 4
+    assert out.distinct_word_ratio == 0.5
+    assert out.top_word_frac == 0.75
+    assert out.top_2gram_frac == round(2 / 3, 6)
+
+
+def test_repetition_stats_single_word_has_no_2grams(spark):
+    out = repetition_stats(_docs(spark, [(1, "solo", "s")])).collect()[0]
+    assert out.n_words == 1 and out.top_2gram_frac == 0.0
+
+
+def test_hash_sample_is_deterministic_and_near_rate(spark):
+    docs = _docs(spark, [(i, f"document number {i}", f"src{i % 4}") for i in range(500)])
+    a = hash_sample_stats(docs, threshold_hex="1999").collect()
+    b = hash_sample_stats(docs, threshold_hex="1999").collect()
+    assert a == b
+    total = sum(r.n_sampled for r in a)
+    # 0x1999/0x10000 ~ 10%; binomial(500, .1) within [20, 90] w.p. ~1-1e-6
+    assert 20 <= total <= 90
+
+
+def test_hash_sample_flag_validates_threshold(spark):
+    with pytest.raises(ValueError):
+        hash_sample_flag(F.col("text"), threshold_hex="xyz")
+    with pytest.raises(ValueError):
+        hash_sample_flag(F.col("text"), threshold_hex="")
+
+
+@pytest.fixture(scope="module")
+def corpus_frames(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(40)), f"s{i % 3}") for i in range(60)],
+    )
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return {
+        "passage": passage_dedup_stats(docs),
+        "decon": decontaminate(train, bench),
+        "repetition": repetition_stats(docs),
+        "sample": hash_sample_stats(docs),
+    }
+
+
+@pytest.mark.parametrize("name", ["passage", "decon", "repetition", "sample"])
+def test_corpus_plans_stay_jvm_side(corpus_frames, name):
+    """No Python evaluation anywhere — these are pure Column-expression
+    operators — and no cartesian/BNL joins (the 100TB failure modes)."""
+    plan = corpus_frames[name]._jdf.queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, (name, bad)
+
+
+def test_decontamination_broadcasts_benchmark_grams(corpus_frames):
+    plan = corpus_frames["decon"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
