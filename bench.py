@@ -85,7 +85,14 @@ def _bench_corpus(n_pages: int) -> str:
 
 
 def _run_pipeline_job(spark, pages_path: str, cpus: int) -> tuple[float, int, int]:
-    """One full pipeline run on a fresh checkpoint dir; returns (sec, docs)."""
+    """Full pipeline run on a fresh checkpoint dir; returns (sec, docs).
+
+    Best-of-2 (same methodology as the sketch stage, BENCH/BASELINE.md): the
+    first pipeline run in a session pays ~2x for python-worker spawn, JIT,
+    and page-cache warm-up (measured 76.7s cold vs 37.0s warm on the same
+    session/host), while the baseline's published figures are steady-state.
+    Each run still gets its own fresh checkpoint dir (no reuse across runs).
+    """
     from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
     from mashing_pumpkins_spark.plans.pipeline import run_pipeline
 
@@ -103,13 +110,16 @@ def _run_pipeline_job(spark, pages_path: str, cpus: int) -> tuple[float, int, in
         F.sum(F.octet_length(F.encode("text", "utf-8"))).alias("b"),
     ).first()
     n_docs, n_bytes = int(stats["n"]), int(stats["b"])
-    ckpt = tempfile.mkdtemp(prefix="mp_bench_ckpt_")
-    t0 = time.monotonic()
-    clusters, _report = run_pipeline(spark, pages, cfg, ckpt)
-    clusters.count()
-    sec = time.monotonic() - t0
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return sec, n_docs, n_bytes
+    best_sec = float("inf")
+    for _ in range(2):
+        ckpt = tempfile.mkdtemp(prefix="mp_bench_ckpt_")
+        t0 = time.monotonic()
+        clusters, _report = run_pipeline(spark, pages, cfg, ckpt)
+        clusters.count()
+        best_sec = min(best_sec, time.monotonic() - t0)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.clearCache()
+    return best_sec, n_docs, n_bytes
 
 
 def _sketch_throughput(spark, pages_path: str, cpus: int) -> tuple[float, float]:
@@ -219,6 +229,11 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "ann_ivf",
         "events_hourly",
         "multimodal_features",
+        # corpus-curation ops (pure JVM Column expressions)
+        "passage_dedup_stats",
+        "decontamination",
+        "repetition_stats",
+        "hash_sample_stats",
     ]
     for name in bench_queries:
         if name is None or name not in queries:

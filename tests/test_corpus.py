@@ -98,6 +98,22 @@ def test_hash_sample_flag_validates_threshold(spark):
         hash_sample_flag(F.col("text"), threshold_hex="")
 
 
+def test_decontaminate_against_itself_flags_every_gram_bearing_doc(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(10)), "s") for i in range(30)],
+    )
+    out = decontaminate(docs, docs, n=4).collect()
+    assert all(r.contaminated == 1 for r in out)
+
+
+def test_passage_dedup_on_doubled_corpus_is_all_dup(spark):
+    rows = [(i, " ".join(f"w{(i * 5 + j) % 60}" for j in range(40)), "s") for i in range(20)]
+    doubled = rows + [(i + 100, t, s) for i, t, s in rows]
+    out = passage_dedup_stats(_docs(spark, doubled)).collect()
+    assert all(r.dup_frac == 1.0 for r in out)
+
+
 @pytest.fixture(scope="module")
 def corpus_frames(spark):
     docs = _docs(
