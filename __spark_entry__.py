@@ -718,6 +718,20 @@ def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_stats(_docs(spark, sf_dir), threshold_hex="1999")
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel over the training split (doc_id % 10 != 0):
+    quality filter -> exact dedup -> passage-dup cut -> decontamination vs
+    the held-out split, reporting docs+words surviving each stage. Every
+    stage is SQL-replayable; the funnel is the composition proof."""
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    funnel, _survivors = curation_funnel(train, benchmark)
+    return funnel
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -779,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "repetition_stats": q_repetition_stats,
         "hash_sample_stats": q_hash_sample_stats,
+        "curation_funnel": q_curation_funnel,
         "events_hourly": q_events_hourly,
     }
 
@@ -1333,6 +1348,69 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_docs,
                    sum((substr(md5(text), 1, 4) < '1999')::int)::bigint as n_sampled
             from documents group by source order by source
+        """,
+        "curation_funnel": r"""
+            with train as (select doc_id, text from documents where doc_id % 10 <> 0),
+            bench as (select doc_id, text from documents where doc_id % 10 = 0),
+            q as (
+              select doc_id, text,
+                (case when length(text) between 100 and 20000 then 0.4 else 0 end)
+                + (case when (case when length(regexp_replace(text, '\s+', '', 'g')) > 0
+                     then len(regexp_extract_all(regexp_replace(text, '\s+', '', 'g'), '[^A-Za-z0-9]'))::double
+                          / length(regexp_replace(text, '\s+', '', 'g')) else 0 end) < 0.2 then 0.3 else 0 end)
+                + (case when (case when length(trim(text)) > 0
+                     then len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> list_contains(['the','and','of','to','is','in','that','for','with','a','an','it','on','as','at','by'], x)))::double
+                          / len(string_split_regex(lower(trim(text)), '\s+')) else 0 end) > 0.01 then 0.3 else 0 end)
+                as quality
+              from train
+            ),
+            s1 as (select doc_id, text from q where quality >= 0.4),
+            s2 as (select doc_id, text from (
+              select doc_id, text, row_number() over (partition by md5(text) order by doc_id) as rn
+              from s1) where rn = 1),
+            toks as (select doc_id, case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from s2),
+            p as (select doc_id, md5(array_to_string(w[i*16+1:i*16+16], ' ')) as ph
+                  from toks, unnest(generate_series(0, cast(ceil(len(w)/16.0) as int) - 1)) as t(i)
+                  where len(w) > 0),
+            cnts as (select ph, count(*) as cnt from p group by 1),
+            pstat as (select p.doc_id, count(*) as n_pass,
+                             sum(case when cnt > 1 then 1 else 0 end) as n_dup
+                      from p join cnts using (ph) group by 1),
+            s3 as (select s2.doc_id, s2.text from s2 left join pstat using (doc_id)
+                   where coalesce(n_dup, 0)::double / greatest(coalesce(n_pass, 1), 1) <= 0.5),
+            t3 as (select doc_id, case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from s3),
+            tb as (select case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from bench),
+            g3 as (select doc_id, dg.g from t3,
+                   unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                     i -> array_to_string(w[i:i+3], ' ')))) as dg(g)),
+            gb as (select distinct bg.g from tb,
+                   unnest(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                     i -> array_to_string(w[i:i+3], ' '))) as bg(g)),
+            dirty as (select distinct doc_id from g3 join gb using (g)),
+            s4 as (select s3.doc_id, s3.text from s3 anti join dirty using (doc_id)),
+            f as (
+              select 0 as stage_idx, 'input' as stage, count(*) as n_docs,
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) as n_words from train
+              union all select 1, 'quality_filter', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s1
+              union all select 2, 'exact_dedup', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s2
+              union all select 3, 'passage_dedup', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s3
+              union all select 4, 'decontamination', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s4
+            )
+            select stage_idx, stage, n_docs, n_words::bigint as n_words
+            from f order by stage_idx
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,

@@ -114,6 +114,42 @@ def test_passage_dedup_on_doubled_corpus_is_all_dup(spark):
     assert all(r.dup_frac == 1.0 for r in out)
 
 
+def test_curation_funnel_drops_each_planted_defect(spark):
+    """One doc per failure mode; each stage removes exactly its target."""
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    passage = " ".join(f"p{i}" for i in range(16))
+    good = lambda i: " ".join(f"g{i}x{j}" for j in range(30))  # noqa: E731
+    rows = [
+        (1, good(1), "s"),
+        (2, good(2), "s"),
+        (3, "too short", "s"),  # fails quality (len < 100 chars)
+        (4, good(1), "s"),  # exact dup of doc 1 (same text)
+        (5, passage + " " + passage, "s"),  # all passages duplicated
+        (6, "zz alpha beta gamma delta qq " + good(6), "s"),  # contaminated
+    ]
+    bench = _docs(spark, [(100, "alpha beta gamma delta", "b")])
+    funnel, survivors = curation_funnel(_docs(spark, rows), bench)
+    counts = {r.stage: r.n_docs for r in funnel.collect()}
+    assert counts == {
+        "input": 6,
+        "quality_filter": 5,
+        "exact_dedup": 4,
+        "passage_dedup": 3,
+        "decontamination": 2,
+    }
+    assert sorted(r.doc_id for r in survivors.collect()) == [1, 2]
+
+
+def test_curation_funnel_without_benchmark_skips_decontamination(spark):
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    docs = _docs(spark, [(i, " ".join(f"d{i}w{j}" for j in range(30)), "s") for i in range(5)])
+    funnel, _ = curation_funnel(docs, None)
+    stages = [r.stage for r in funnel.collect()]
+    assert stages == ["input", "quality_filter", "exact_dedup", "passage_dedup"]
+
+
 @pytest.fixture(scope="module")
 def corpus_frames(spark):
     docs = _docs(
