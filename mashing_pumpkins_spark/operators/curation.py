@@ -25,11 +25,16 @@ of this SQL-replayable funnel.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import quality_score, whitespace_token_count
 from .corpus import decontaminate, passage_dedup_stats
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..config import PipelineConfig
 
 
 def curation_funnel(
@@ -39,12 +44,21 @@ def curation_funnel(
     passage_words: int = 16,
     max_dup_frac: float = 0.5,
     ngram: int = 4,
+    near_dup: "PipelineConfig | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (funnel, survivors): funnel is one row per stage with
     (stage_idx, stage, n_docs, n_words); survivors is the post-funnel
-    document set (id, text columns preserved)."""
+    document set (id, text columns preserved).
+
+    When `near_dup` (a PipelineConfig) is given, a final stage runs the
+    full MinHash near-dup pipeline (sketch -> bands -> candidates ->
+    verify -> connected components, plans/pipeline.run_pipeline_flow) on
+    the survivors and keeps one representative per cluster (the member
+    whose string id equals the cluster id, i.e. the lexicographic min).
+    This stage is hash-valued, so the SQL-replayable driver query leaves
+    it off; its own correctness gate is the `pipeline_clusters` oracle."""
     base = docs.select(F.col(id_col), F.col(text_col))
     stages: list[tuple[str, DataFrame]] = [("input", base)]
 
@@ -83,6 +97,22 @@ def curation_funnel(
         )
         s4 = s3.join(dirty, id_col, "left_anti")
         stages.append(("decontamination", s4))
+
+    if near_dup is not None:
+        from ..plans.pipeline import run_pipeline_flow
+
+        prev = stages[-1][1]
+        pages = prev.select(
+            F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text")
+        )
+        clusters, _report = run_pipeline_flow(docs.sparkSession, pages, near_dup)
+        losers = clusters.where(F.col("url") != F.col("cluster_id")).select(
+            F.col("url").alias("_loser")
+        )
+        s5 = prev.join(
+            losers, F.col(id_col).cast("string") == F.col("_loser"), "left_anti"
+        )
+        stages.append(("near_dup", s5))
 
     funnel_rows = [
         df.agg(

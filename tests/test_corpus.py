@@ -141,6 +141,45 @@ def test_curation_funnel_drops_each_planted_defect(spark):
     assert sorted(r.doc_id for r in survivors.collect()) == [1, 2]
 
 
+def test_curation_funnel_near_dup_stage_keeps_one_representative(spark):
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    base = " ".join(f"tok{j}" for j in range(60))
+    near = base.replace("tok59", "changed")  # ~0.97 shingle Jaccard
+    rows = [(10, base, "s"), (11, near, "s")] + [
+        (20 + i, " ".join(f"d{i}w{j}" for j in range(40)), "s") for i in range(4)
+    ]
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    # max_dup_frac=1.0 disables the passage cut (the near pair shares 3 of
+    # 4 word windows and would otherwise be removed one stage earlier) so
+    # this test isolates the MinHash stage
+    funnel, survivors = curation_funnel(
+        _docs(spark, rows), None, max_dup_frac=1.0, near_dup=cfg
+    )
+    counts = {r.stage: r.n_docs for r in funnel.collect()}
+    assert counts["passage_dedup"] == 6 and counts["near_dup"] == 5
+    ids = sorted(r.doc_id for r in survivors.collect())
+    assert ids == [10, 20, 21, 22, 23]  # rep '10' < '11' lexicographically
+
+
+def test_corpus_ops_tolerate_null_text(spark):
+    """Real corpora contain null text; no op may crash, and null docs fall
+    out of gram/passage stages the same way empty docs do."""
+    rows = [(1, None, "s"), (2, "some regular words here", "s")]
+    docs = _docs(spark, rows)
+    assert passage_dedup_stats(docs).count() == 2
+    assert repetition_stats(docs).count() == 2
+    assert decontaminate(docs, docs.where(F.col("doc_id") == 2)).count() == 2
+    stats = hash_sample_stats(docs).collect()
+    assert sum(r.n_docs for r in stats) == 2
+
+
 def test_curation_funnel_without_benchmark_skips_decontamination(spark):
     from mashing_pumpkins_spark.operators.curation import curation_funnel
 
