@@ -732,6 +732,38 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch incremental near-dup admission: odd-doc_id batch checked
+    against the committed even-doc_id index (sketch -> band equi-join ->
+    exact verify) WITHOUT re-scanning the committed side. Exact sketches,
+    so every (odd, even) pair with byte-shingle Jaccard >= 0.8 must
+    surface — a full value oracle of the corpus-refresh path."""
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.operators.incremental import (
+        incremental_near_dup,
+        index_tables,
+    )
+
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    committed = docs.where(F.col("url").cast("long") % 2 == 0)
+    batch = docs.where(F.col("url").cast("long") % 2 == 1)
+    sigs, bands = index_tables(committed, cfg)
+    matches, _fresh = incremental_near_dup(
+        batch, sigs, bands, cfg, intra_batch=False
+    )
+    return matches.select(
+        "new_url", "match_url", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("new_url", "match_url")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -794,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "hash_sample_stats": q_hash_sample_stats,
         "curation_funnel": q_curation_funnel,
+        "incremental_dedup": q_incremental_dedup,
         "events_hourly": q_events_hourly,
     }
 
@@ -1411,6 +1444,15 @@ def oracle_sql() -> dict[str, str]:
             )
             select stage_idx, stage, n_docs, n_words::bigint as n_words
             from f order by stage_idx
+        """,
+        "incremental_dedup": _SHINGLES_CTE
+        + """
+            select cast(case when id_a % 2 = 1 then id_a else id_b end as varchar) as new_url,
+                   cast(case when id_a % 2 = 1 then id_b else id_a end as varchar) as match_url,
+                   jaccard
+            from jac
+            where jaccard >= 0.8 and (id_a % 2) <> (id_b % 2)
+            order by new_url, match_url
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,
