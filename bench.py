@@ -235,6 +235,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "repetition_stats",
         "hash_sample_stats",
         "curation_funnel",
+        "incremental_dedup",
     ]
     for name in bench_queries:
         if name is None or name not in queries:

@@ -59,73 +59,115 @@ def curation_funnel(
     whose string id equals the cluster id, i.e. the lexicographic min).
     This stage is hash-valued, so the SQL-replayable driver query leaves
     it off; its own correctness gate is the `pipeline_clusters` oracle."""
-    base = docs.select(F.col(id_col), F.col(text_col))
-    stages: list[tuple[str, DataFrame]] = [("input", base)]
-
-    s1 = base.where(quality_score(F.col(text_col)) >= F.lit(quality_min))
-    stages.append(("quality_filter", s1))
-
-    w = Window.partitionBy(F.md5(F.encode(F.col(text_col), "utf-8"))).orderBy(
-        F.col(id_col)
+    # Single-scan design: one base DataFrame carries a cumulative survival
+    # flag per stage, and the whole funnel report is ONE aggregate over it
+    # (stage N's count = sum of flag N). The naive alternative — one agg
+    # branch per stage, each re-deriving the full upstream chain — ran 5x
+    # the work; only the passage-count and benchmark-gram side inputs are
+    # aggregation branches here, and they read the filtered base once.
+    flags = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_q", quality_score(F.col(text_col)) >= F.lit(quality_min)
     )
-    s2 = (
-        s1.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    # exact-dedup representative among quality survivors: min id per
+    # content fingerprint, restricted to _q rows (ids are unique, so this
+    # equals row_number()==1 over (fp, id) among survivors)
+    w = Window.partitionBy(F.md5(F.encode(F.col(text_col), "utf-8")))
+    flags = flags.withColumn(
+        "_d",
+        F.col("_q")
+        & (F.col(id_col) == F.min(F.when(F.col("_q"), F.col(id_col))).over(w)),
     )
-    stages.append(("exact_dedup", s2))
 
     pstats = passage_dedup_stats(
-        s2, passage_words=passage_words, id_col=id_col, text_col=text_col
+        flags.where("_d").select(id_col, text_col),
+        passage_words=passage_words,
+        id_col=id_col,
+        text_col=text_col,
     ).select(id_col, "n_passages", "n_dup_passages")
-    s3 = (
-        s2.join(pstats, id_col, "left")
-        .where(
+    flags = flags.join(pstats, id_col, "left").withColumn(
+        "_p",
+        F.col("_d")
+        & (
             F.coalesce("n_dup_passages", F.lit(0)).cast("double")
             / F.greatest(F.coalesce("n_passages", F.lit(1)), F.lit(1))
             <= F.lit(max_dup_frac)
-        )
-        .select(id_col, text_col)
-    )
-    stages.append(("passage_dedup", s3))
+        ),
+    ).drop("n_passages", "n_dup_passages")
+
+    specs: list[tuple[str, "F.Column"]] = [
+        ("input", F.lit(True)),
+        ("quality_filter", F.col("_q")),
+        ("exact_dedup", F.col("_d")),
+        ("passage_dedup", F.col("_p")),
+    ]
+    last = "_p"
 
     if benchmark is not None:
         dirty = (
-            decontaminate(s3, benchmark, n=ngram, id_col=id_col, text_col=text_col)
+            decontaminate(
+                flags.where("_p").select(id_col, text_col),
+                benchmark,
+                n=ngram,
+                id_col=id_col,
+                text_col=text_col,
+            )
             .where(F.col("contaminated") == 1)
-            .select(id_col)
+            .select(id_col, F.lit(True).alias("_dirty"))
         )
-        s4 = s3.join(dirty, id_col, "left_anti")
-        stages.append(("decontamination", s4))
+        flags = flags.join(dirty, id_col, "left").withColumn(
+            "_c", F.col("_p") & ~F.coalesce("_dirty", F.lit(False))
+        ).drop("_dirty")
+        specs.append(("decontamination", F.col("_c")))
+        last = "_c"
+
+    survivors = flags.where(last).select(id_col, text_col)
+
+    wc = whitespace_token_count(F.col(text_col))
+    aggs = []
+    for i, (_name, flag) in enumerate(specs):
+        aggs.append(
+            F.coalesce(F.sum(flag.cast("long")), F.lit(0)).cast("long").alias(f"c{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(flag, wc)), F.lit(0)).cast("long").alias(f"w{i}")
+        )
+    structs = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"c{i}").alias("n_docs"),
+            F.col(f"w{i}").alias("n_words"),
+        )
+        for i, (name, _flag) in enumerate(specs)
+    ]
+    funnel = (
+        flags.agg(*aggs)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
 
     if near_dup is not None:
         from ..plans.pipeline import run_pipeline_flow
 
-        prev = stages[-1][1]
-        pages = prev.select(
+        pages = survivors.select(
             F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text")
         )
         clusters, _report = run_pipeline_flow(docs.sparkSession, pages, near_dup)
         losers = clusters.where(F.col("url") != F.col("cluster_id")).select(
             F.col("url").alias("_loser")
         )
-        s5 = prev.join(
+        survivors = survivors.join(
             losers, F.col(id_col).cast("string") == F.col("_loser"), "left_anti"
         )
-        stages.append(("near_dup", s5))
-
-    funnel_rows = [
-        df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
+        extra = survivors.agg(
             F.count("*").alias("n_docs"),
-            F.coalesce(
-                F.sum(whitespace_token_count(F.col(text_col))).cast("long"), F.lit(0)
-            ).alias("n_words"),
+            F.coalesce(F.sum(wc), F.lit(0)).cast("long").alias("n_words"),
+        ).select(
+            F.lit(len(specs)).alias("stage_idx"),
+            F.lit("near_dup").alias("stage"),
+            "n_docs",
+            "n_words",
         )
-        for idx, (name, df) in enumerate(stages)
-    ]
-    funnel = funnel_rows[0]
-    for part in funnel_rows[1:]:
-        funnel = funnel.unionAll(part)
-    return funnel.orderBy("stage_idx"), stages[-1][1]
+        funnel = funnel.unionAll(extra)
+
+    return funnel.orderBy("stage_idx"), survivors

@@ -30,6 +30,10 @@ def main() -> None:
         decontaminate,
         passage_dedup_stats,
     )
+    from mashing_pumpkins_spark.operators.incremental import (
+        incremental_near_dup,
+        index_tables,
+    )
     from mashing_pumpkins_spark.operators.substring import substring_duplicate_pairs
     from mashing_pumpkins_spark.operators.verify import verified_edges
 
@@ -50,6 +54,16 @@ def main() -> None:
     edges = verified_edges(pairs, sigs, cfg, broadcast_cap_bytes=0)
     sub = substring_duplicate_pairs(pages, min_len=64, k=32, id_col="url", text_col="text")
     passages = passage_dedup_stats(pages, id_col="url", text_col="text")
+    c_sigs, c_bands = index_tables(
+        pages.where(F.crc32(F.col("url")) % 2 == 0), cfg
+    )
+    inc_matches, _inc_fresh = incremental_near_dup(
+        pages.where(F.crc32(F.col("url")) % 2 == 1),
+        c_sigs,
+        c_bands,
+        cfg,
+        intra_batch=False,
+    )
     decon = decontaminate(
         pages,
         pages.where(F.crc32(F.col("url")) % 10 == 0),
@@ -107,6 +121,14 @@ def main() -> None:
             "Check: benchmark gram set sits behind a BroadcastHashJoin "
             "(eval suites are small) so the training-side gram scan never "
             "shuffles; pure JVM throughout.",
+        ),
+        (
+            "incremental near-dup admission (batch vs committed index)",
+            inc_matches,
+            "Check: committed side enters ONLY through the band_key "
+            "equi-join and the per-candidate signature join — no scan of "
+            "committed text, no cartesian; batch cost scales with the "
+            "batch, not the corpus.",
         ),
     ]
     out = [
