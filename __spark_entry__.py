@@ -764,6 +764,71 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_url", "match_url")
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min inactivity gap) + JSON
+    prop extraction per session. The gap test is a direct timestamp
+    comparison against lag(ts) + INTERVAL (microsecond-exact, no epoch
+    conversion, timezone-independent for NTZ timestamps); one window
+    shuffle keyed by user_id."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .withColumn(
+            "_brk",
+            (
+                prev.isNull()
+                | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-count percentiles per language (p50/p90/p99) — the
+    corpus length-distribution diagnostic. Uses Spark's exact percentile
+    aggregate (interpolating, == DuckDB quantile_cont)."""
+    from mashing_pumpkins_spark.functions.textstats import whitespace_token_count
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", whitespace_token_count(F.col("text")).cast("double").alias("n_tok")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("n_tok", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -827,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_stats": q_hash_sample_stats,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
+        "user_sessions": q_user_sessions,
+        "length_percentiles": q_length_percentiles,
         "events_hourly": q_events_hourly,
     }
 
@@ -1453,6 +1520,33 @@ def oracle_sql() -> dict[str, str]:
             from jac
             where jaccard >= 0.8 and (id_a % 2) <> (id_b % 2)
             order by new_url, match_url
+        """,
+        "user_sessions": """
+            with e as (
+              select user_id, ts, event_id, value,
+                     cast(json_extract_string(props, '$.k') as bigint) as k,
+                     lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+              from events
+            ),
+            m as (select *, case when prev_ts is null or ts > prev_ts + interval 30 minute
+                                 then 1 else 0 end as brk from e),
+            s as (select *, sum(brk) over (partition by user_id order by ts, event_id
+                                           rows unbounded preceding) as sess from m)
+            select user_id, sess::bigint as session_idx, count(*) as n_events,
+                   min(ts) as first_ts, max(ts) as last_ts,
+                   round(sum(value), 6) as sum_value, sum(k)::bigint as sum_k
+            from s group by user_id, sess order by user_id, session_idx
+        """,
+        "length_percentiles": r"""
+            select lang,
+                   round(quantile_cont(n_tok, 0.5), 6) as p50,
+                   round(quantile_cont(n_tok, 0.9), 6) as p90,
+                   round(quantile_cont(n_tok, 0.99), 6) as p99
+            from (select lang,
+                         (case when length(trim(text)) = 0 then 0
+                               else len(string_split_regex(trim(text), '\s+')) end)::double as n_tok
+                  from documents)
+            group by lang order by lang
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,
