@@ -829,6 +829,73 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents(col: str) -> "F.Column":
+    """Exact integer cents/percent from a 2-decimal double: float SUM order
+    differs between engines, so all money math here is bigint-exact and
+    only the final presentation divides+rounds."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog over the star schema: pricing summary report per
+    (returnflag, linestatus). Money math in exact integer cents (see
+    _cents) so the oracle is value-stable; single groupBy with map-side
+    partial aggregation — the canonical scan-heavy report shape."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents, dpct, tpct = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(cents * (100 - dpct)) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(cents * (100 - dpct) * (100 + tpct)) / 1000000.0, 2).alias(
+                "sum_charge"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 1996 revenue by nation for the AFRICA region —
+    the multi-table join showcase. The two dimension tables (nation,
+    region) are broadcast explicitly; customer/supplier co-nation
+    equi-joins shuffle on their keys. Exact-cents revenue."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    cents, dpct = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        rd("lineitem")
+        .join(
+            rd("orders").where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(rd("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            rd("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(rd("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(rd("region").where(F.col("r_name") == "AFRICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(cents * (100 - dpct)) / 10000.0, 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -894,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
         "length_percentiles": q_length_percentiles,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
         "events_hourly": q_events_hourly,
     }
 
@@ -1547,6 +1616,35 @@ def oracle_sql() -> dict[str, str]:
                                else len(string_split_regex(trim(text), '\s+')) end)::double as n_tok
                   from documents)
             group by lang order by lang
+        """,
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   sum(cast(round(l_quantity) as bigint))::bigint as sum_qty,
+                   round(sum(cast(round(l_extendedprice*100) as bigint))/100.0, 2) as sum_base_price,
+                   round(sum(cast(round(l_extendedprice*100) as bigint)
+                             * (100 - cast(round(l_discount*100) as bigint)))/10000.0, 2) as sum_disc_price,
+                   round(sum(cast(round(l_extendedprice*100) as bigint)
+                             * (100 - cast(round(l_discount*100) as bigint))
+                             * (100 + cast(round(l_tax*100) as bigint)))/1000000.0, 2) as sum_charge,
+                   count(*) as n_rows
+            from lineitem
+            where l_shipdate <= timestamp '2000-01-01'
+            group by 1, 2 order by 1, 2
+        """,
+        "revenue_by_nation": """
+            select n_name, count(*) as n,
+                   round(sum(cast(round(l_extendedprice*100) as bigint)
+                             * (100 - cast(round(l_discount*100) as bigint)))/10000.0, 2) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'AFRICA'
+              and o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate < timestamp '1997-01-01'
+            group by 1 order by revenue desc, n_name
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,

@@ -117,3 +117,24 @@ def test_rollup_and_sharded_merge_stay_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     assert plan.count("MapInArrow") == 1  # the sketch kernel
     assert plan.count("MapInPandas") == 1  # the chunk splitter
+
+
+def test_star_schema_queries_broadcast_dims_and_push_filters(spark):
+    """TPC-H-analog queries: dimension joins must be broadcast (no
+    shuffle of the fact table for 5-row dims), the date predicate must
+    reach the parquet scan, and the fact scan must prune to the columns
+    the query needs."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    rev = E.queries()["revenue_by_nation"](spark, sf_dir)
+    plan = rev._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    summary = E.queries()["pricing_summary"](spark, sf_dir)
+    splan = summary._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in splan
+    # column pruning: the scan must not read unused l_partkey/l_comment
+    read_schema = [l for l in splan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
