@@ -896,6 +896,34 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): doc and token totals at every grouping
+    granularity (per lang+source, per lang, per source, grand total) in
+    one pass — the grouping-sets/rollup row of the relational checklist.
+    Grouping nulls are presented as 'ALL' so the oracle compare is
+    null-free."""
+    from mashing_pumpkins_spark.functions.textstats import whitespace_token_count
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "lang", "source", whitespace_token_count(F.col("text")).alias("n_tok")
+        )
+        .cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -963,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "token_stats_cube": q_token_stats_cube,
         "events_hourly": q_events_hourly,
     }
 
@@ -1645,6 +1674,16 @@ def oracle_sql() -> dict[str, str]:
               and o_orderdate >= timestamp '1996-01-01'
               and o_orderdate < timestamp '1997-01-01'
             group by 1 order by revenue desc, n_name
+        """,
+        "token_stats_cube": r"""
+            select coalesce(lang, 'ALL') as lang,
+                   coalesce(source, 'ALL') as source,
+                   count(*) as n_docs,
+                   sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end)::bigint as n_tokens
+            from documents
+            group by cube (lang, source)
+            order by lang, source
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,

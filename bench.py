@@ -236,6 +236,11 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "hash_sample_stats",
         "curation_funnel",
         "incremental_dedup",
+        # relational showcase (star-schema joins, sessionization, cube)
+        "pricing_summary",
+        "revenue_by_nation",
+        "user_sessions",
+        "token_stats_cube",
     ]
     for name in bench_queries:
         if name is None or name not in queries:
