@@ -44,6 +44,8 @@ def words_array(text: Column) -> Column:
 def word_gram_array(w: Column, n: int) -> Column:
     """Overlapping word n-grams joined by single spaces (empty when
     fewer than n words) — same guard as dedup.word_ngram_jaccard_pairs."""
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
     return F.when(
         F.size(w) >= n,
         F.transform(
@@ -56,6 +58,8 @@ def word_gram_array(w: Column, n: int) -> Column:
 def passage_array(w: Column, passage_words: int) -> Column:
     """Non-overlapping windows of `passage_words` words (last window may
     be shorter). The paragraph analog for text without line structure."""
+    if passage_words < 1:
+        raise ValueError(f"passage_words must be >= 1, got {passage_words}")
     n_pass = F.ceil(F.size(w) / F.lit(float(passage_words))).cast("int")
     return F.when(
         F.size(w) > 0,

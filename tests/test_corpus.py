@@ -98,6 +98,19 @@ def test_hash_sample_flag_validates_threshold(spark):
         hash_sample_flag(F.col("text"), threshold_hex="")
 
 
+def test_window_size_parameters_are_validated(spark):
+    """passage_words=0 / n=0 would silently yield empty stats via a null
+    sequence — they must raise instead."""
+    from mashing_pumpkins_spark.operators.corpus import passage_array, word_gram_array
+
+    with pytest.raises(ValueError):
+        passage_array(F.col("w"), 0)
+    with pytest.raises(ValueError):
+        word_gram_array(F.col("w"), 0)
+    with pytest.raises(ValueError):
+        passage_dedup_stats(_docs(spark, [(1, "a b", "s")]), passage_words=-1)
+
+
 def test_decontaminate_against_itself_flags_every_gram_bearing_doc(spark):
     docs = _docs(
         spark,
