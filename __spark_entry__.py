@@ -437,6 +437,70 @@ def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.orderBy("url")
 
 
+def q_pipeline_clusters_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME near-dup pipeline as pipeline_clusters but through the
+    checkpoint-free flow variant (one chained Catalyst plan, persists at
+    shuffle barriers) — same operators, same config, so it shares the
+    recursive-CTE oracle verbatim. Gates that both physical forms return
+    identical clusters through the driver."""
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.plans.pipeline import run_pipeline_flow
+
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"),
+        F.col("text"),
+    )
+    clusters, _ = run_pipeline_flow(spark, pages, cfg)
+    return clusters.orderBy("url")
+
+
+def q_stop_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-gram mining: the 20 highest-document-frequency word 3-grams
+    (deterministic ties by gram) — the boilerplate list that feeds the
+    n-gram dedup df-cap. Global top-k via orderBy+limit
+    (TakeOrderedAndProject: only k rows leave each partition)."""
+    from mashing_pumpkins_spark.operators.corpus import word_gram_array, words_array
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.col("doc_id"),
+        F.explode(word_gram_array(words_array(F.col("text")), 3)).alias("g"),
+    ).distinct()
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("g"))
+        .limit(20)
+    )
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary summary: total/distinct word counts and hapax
+    legomena (words occurring exactly once corpus-wide) — the Zipf-tail
+    diagnostic. One explode + one word-keyed groupBy."""
+    from mashing_pumpkins_spark.operators.corpus import words_array
+
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(words_array(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total_words"),
+        F.count("*").alias("vocab_size"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("hapax_words"),
+    )
+
+
 def q_source_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11/O12/O28 merge path: per-source rolled-up sketch. Un-truncated, so
     merged sketch size == the source's distinct-shingle count and nvisited
@@ -967,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "pipeline_clusters": q_pipeline_clusters,
+        "pipeline_clusters_flow": q_pipeline_clusters_flow,
+        "stop_grams": q_stop_grams,
+        "vocab_stats": q_vocab_stats,
         "source_sketch_rollup": q_source_sketch_rollup,
         "kmv_distinct_count": q_kmv_distinct_count,
         "lang_id": q_lang_id,
@@ -1282,6 +1349,56 @@ def oracle_sql() -> dict[str, str]:
         select lpad(id::varchar, 8, '0') as url,
                lpad(cid::varchar, 8, '0') as cluster_id
         from labels order by url
+        """,
+        # flow variant: same operators/config as pipeline_clusters -> the
+        # same recursive-closure oracle verbatim
+        "pipeline_clusters_flow": _SHINGLES_CTE
+        + """,
+        edges as (select id_a, id_b from jac where jaccard >= 0.8),
+        sym as (select id_a u, id_b v from edges union select id_b, id_a from edges),
+        closure as (
+          with recursive walk(u, v) as (
+            select u, v from sym
+            union
+            select w.u, s.v from walk w join sym s on w.v = s.u where w.u != s.v
+          ) select * from walk
+        ),
+        labels as (
+          select u as id, least(u, min(v)) as cid from closure group by u
+        )
+        select lpad(id::varchar, 8, '0') as url,
+               lpad(cid::varchar, 8, '0') as cluster_id
+        from labels order by url
+        """,
+        "stop_grams": r"""
+            with toks as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            grams as (
+              select doc_id, dg.g
+              from toks,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> array_to_string(w[i:i+2], ' ')))) as dg(g)
+            )
+            select g, count(*) as df from grams
+            group by g order by df desc, g asc limit 20
+        """,
+        "vocab_stats": r"""
+            with wc as (
+              select t.w, count(*) as c
+              from (select unnest(case when length(trim(text)) > 0
+                       then string_split_regex(lower(trim(text)), '\s+')
+                       else [] end) as w from documents) t
+              group by t.w
+            )
+            select coalesce(sum(c), 0)::bigint as total_words,
+                   count(*) as vocab_size,
+                   coalesce(sum(case when c = 1 then 1 else 0 end), 0)::bigint as hapax_words
+            from wc
         """,
         "source_sketch_rollup": """
             with sh as (

@@ -211,6 +211,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "sketch_stats",
         "minhash_jaccard_estimate" if "0.01" in sf_dir else None,
         "pipeline_clusters",
+        "pipeline_clusters_flow",
         "simhash_pairs",
         "substring_dup_pairs",
         "sketch_sharded_stats",
@@ -241,6 +242,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "revenue_by_nation",
         "user_sessions",
         "token_stats_cube",
+        "stop_grams",
+        "vocab_stats",
     ]
     for name in bench_queries:
         if name is None or name not in queries:
