@@ -465,9 +465,9 @@ def run_scaling() -> dict:
         "The scaling legs above cap at 4 cores to stay inside this VM's CPU "
         "quota; the default bench (BENCH_r*.json) runs the full pipeline at "
         "local[32]/16 input partitions, where the same sketch stage measures "
-        "21.7-36.9 MB/s across host states (round-3 fresh-host runs; spread "
-        "is the burst-credit swing) — 2.3-3.9x the reference's 9.43 MB/s "
-        "headline — and the 100k-page pipeline best-of-2 is ~33.6 s (2,980 "
+        "21.7-38.4 MB/s across host states (round-3 fresh-host runs; spread "
+        "is the burst-credit swing) — 2.3-4.1x the reference's 9.43 MB/s "
+        "headline — and the 100k-page pipeline best-of-2 is 26.6-33.6 s (2,980-3,766 "
         "docs/s). The pipeline job and sketch stage both report best-of-2 "
         "after a measured ~2x first-run warm-up (python-worker spawn + JIT "
         "+ page cache: 76.7 s cold vs 37.0 s warm, same session minutes "
