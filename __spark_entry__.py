@@ -988,6 +988,30 @@ def q_token_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal path: each doc's UTF-8
+    bytes become a deterministic 16px-wide PGM (P5) payload, decoded by
+    the native netpbm decoder inside mapInPandas; the oracle re-derives
+    width/height/mean-intensity from the same bytes via hex arithmetic in
+    SQL — a full value oracle of decode_image + image_summary."""
+    from mashing_pumpkins_spark.operators.multimodal import image_summary
+
+    enc = F.encode(F.col("text"), "utf-8")
+    h = F.least(F.floor(F.octet_length(enc) / 16), F.lit(16)).cast("int")
+    header = F.encode(
+        F.concat(F.lit("P5\n16 "), h.cast("string"), F.lit("\n255\n")), "utf-8"
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.octet_length(enc) >= 16)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.concat(header, F.substring(enc, 1, h * 16)).alias("payload"),
+        )
+    )
+    return image_summary(docs).orderBy("url")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1059,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats_cube": q_token_stats_cube,
+        "image_decode_stats": q_image_decode_stats,
         "events_hourly": q_events_hourly,
     }
 
@@ -1801,6 +1826,30 @@ def oracle_sql() -> dict[str, str]:
             from documents
             group by cube (lang, source)
             order by lang, source
+        """,
+        # decoded pixel values re-derived from the same UTF-8 bytes via hex
+        # digit arithmetic (hex() is uppercase in DuckDB). round_even, not
+        # round: pixel means are exact multiples of 2^-8, so 6-decimal
+        # ties are common and the decoder's Python round() is half-even
+        "image_decode_stats": """
+            with d as (
+              select doc_id, hex(encode(text)) as hx,
+                     octet_length(encode(text)) as n
+              from documents
+            ),
+            sized as (
+              select doc_id, hx, least(n // 16, 16) as h from d where n >= 16
+            ),
+            px as (
+              select doc_id, h,
+                     (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 as v
+              from sized, unnest(generate_series(1, h * 16)) as t(i)
+            )
+            select cast(doc_id as varchar) as url,
+                   16::bigint as width, h::bigint as height, 1::bigint as channels,
+                   round_even(avg(v), 6) as mean_intensity
+            from px group by doc_id, h order by url
         """,
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,

@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT in this container, so the decode
-step is STUBBED (deterministic fake or NotImplementedError) — but the Spark
-plumbing is real and tested: schema (binary + struct metadata), Arrow batch
-shape through mapInPandas, partition-friendly feature extraction.
+The netpbm formats (PGM ``P5`` / PPM ``P6``) decode NATIVELY in pure
+numpy (decode_image), with nearest-neighbor resize (resize_nearest) and a
+decode -> resize -> featurize mapInPandas operator (image_summary).
+Compressed codecs (JPEG/PNG/audio/video) are NOT in this container, so
+those formats raise NotImplementedError from the same decode entry point
+— wire PIL/turbojpeg there at deploy time; the Spark plumbing (schema,
+Arrow batch shape, bounded batches, null-safe error rows) is identical.
 
-The deterministic fake "features" are a 16-bin byte histogram (L1
-normalized) + payload length — enough to exercise downstream similarity
-joins on real bytes without pretending to decode JPEGs.
+The byte-histogram "features" path (extract_binary_features) works on any
+binary payload without decoding — a 16-bin high-nibble histogram (L1
+normalized) + payload length, enough to drive downstream similarity joins
+on real bytes; its f0 bin is SQL-oracle-checked by `multimodal_features`.
 """
 
 from __future__ import annotations
@@ -36,15 +40,55 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """STUB — real decode requires an image library not present here.
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a binary netpbm image (PGM ``P5`` -> HxW, PPM ``P6`` ->
+    HxWx3; 8-bit or 16-bit big-endian) in pure numpy — a REAL decoder for
+    the formats this container can handle without external libraries.
+    Compressed formats (JPEG/PNG/...) still raise NotImplementedError:
+    their codecs are not present here; wire PIL/turbojpeg at deploy time.
+    The Spark-side contract either way is binary in, ndarray out."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty payload")
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            f"decode for format {magic!r} is stubbed in this environment; "
+            "only netpbm P5/P6 decode natively — wire PIL/turbojpeg here"
+        )
+    # header: magic, then 3 ASCII ints (width height maxval) separated by
+    # whitespace, '#' comments running to end-of-line, then ONE whitespace
+    # byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields[0], fields[1], fields[2]
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    img = raster.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
 
-    The Spark-side contract (binary in, ndarray out) is what downstream
-    feature extraction assumes; swap in PIL/libjpeg at deploy time.
-    """
-    raise NotImplementedError(
-        "image decode is stubbed in this environment; wire PIL/turbojpeg here"
-    )
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index arithmetic (no interpolation
+    libraries): deterministic, O(out pixels), any channel count."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"target size must be >= 1, got {(out_h, out_w)}")
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
 
 
 def _byte_histogram(payload: bytes) -> list[float]:
@@ -85,3 +129,55 @@ def extract_binary_features(
             )
 
     return narrow.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+IMAGE_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+
+def image_summary(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    thumb: int | None = None,
+) -> DataFrame:
+    """Decode netpbm payloads (decode_image) per Arrow batch and report
+    (width, height, channels, mean intensity); with `thumb` set, stats
+    come from a nearest-neighbor thumbnail instead (the decode -> resize
+    -> featurize shape of a real image pipeline). Undecodable payloads
+    yield null dimensions rather than failing the batch."""
+    narrow = df.select(url_col, payload_col)
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    img = decode_image(payload)
+                except (NotImplementedError, ValueError):
+                    rows.append((url, None, None, None, None))
+                    continue
+                if thumb is not None:
+                    img = resize_nearest(img, thumb, thumb)
+                channels = 1 if img.ndim == 2 else img.shape[2]
+                rows.append(
+                    (
+                        url,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(channels),
+                        float(round(img.astype(np.float64).mean(), 6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "channels", "mean_intensity"]
+            )
+
+    return narrow.mapInPandas(_summarize, IMAGE_SUMMARY_SCHEMA)

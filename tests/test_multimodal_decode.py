@@ -1,0 +1,79 @@
+"""Native netpbm decode + resize + the decode->featurize Spark operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mashing_pumpkins_spark.operators.multimodal import (
+    decode_image,
+    image_summary,
+    resize_nearest,
+)
+
+
+def make_ppm(w: int, h: int, seed: int = 0, comment: bool = False) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    header = b"P6\n" + (b"# synthetic test image\n" if comment else b"")
+    header += f"{w} {h}\n255\n".encode()
+    return header + img.tobytes(), img
+
+
+def make_pgm16(w: int, h: int, seed: int = 0) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    payload = f"P5\n{w} {h}\n65535\n".encode() + img.astype(">u2").tobytes()
+    return payload, img
+
+
+def test_decode_ppm_roundtrip_with_comment_header():
+    payload, img = make_ppm(17, 9, seed=3, comment=True)
+    out = decode_image(payload)
+    assert out.shape == (9, 17, 3)
+    assert np.array_equal(out, img)
+
+
+def test_decode_pgm_16bit_big_endian():
+    payload, img = make_pgm16(5, 4, seed=7)
+    out = decode_image(payload)
+    assert out.shape == (4, 5) and out.dtype == np.dtype(">u2")
+    assert np.array_equal(out.astype(np.uint16), img)
+
+
+def test_decode_unsupported_format_still_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(ValueError):
+        decode_image(b"")
+
+
+def test_resize_nearest_shapes_and_identity():
+    _, img = make_ppm(8, 6, seed=1)
+    small = resize_nearest(img, 3, 4)
+    assert small.shape == (3, 4, 3)
+    assert np.array_equal(resize_nearest(img, 6, 8), img)  # same size = identity
+    with pytest.raises(ValueError):
+        resize_nearest(img, 0, 4)
+
+
+def test_image_summary_decodes_and_null_rows_for_bad_payloads(spark):
+    p1, img1 = make_ppm(10, 4, seed=5)
+    p2, img2 = make_pgm16(3, 3, seed=6)
+    rows = [("a", bytearray(p1)), ("b", bytearray(p2)), ("c", bytearray(b"PNG..."))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r.url: r for r in image_summary(df).collect()}
+    assert (out["a"].width, out["a"].height, out["a"].channels) == (10, 4, 3)
+    assert out["a"].mean_intensity == round(float(img1.mean()), 6)
+    assert (out["b"].width, out["b"].height, out["b"].channels) == (3, 3, 1)
+    assert out["b"].mean_intensity == round(float(img2.mean()), 6)
+    assert out["c"].width is None and out["c"].mean_intensity is None
+
+
+def test_image_summary_thumbnail_path(spark):
+    p1, img1 = make_ppm(16, 16, seed=9)
+    df = spark.createDataFrame([("a", bytearray(p1))], "url string, payload binary")
+    out = image_summary(df, thumb=4).collect()[0]
+    thumb = resize_nearest(img1, 4, 4)
+    assert (out.width, out.height) == (4, 4)
+    assert out.mean_intensity == round(float(thumb.astype(np.float64).mean()), 6)
