@@ -131,6 +131,91 @@ def extract_binary_features(
     return narrow.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload (8/16-bit integer PCM) in pure
+    numpy: returns (samples as float64 in [-1, 1), shape n x channels,
+    sample_rate). Compressed audio (MP3/AAC/...) raises
+    NotImplementedError — those codecs are not in this container."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("empty payload")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes natively; wire ffmpeg/soundfile here"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = body
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"PCM format {audio_format}/{bits}-bit unsupported")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels), sample_rate
+
+
+AUDIO_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_summary(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode WAV payloads per Arrow batch and report (sample_rate,
+    channels, frames, RMS amplitude); undecodable payloads yield null
+    rows — same plumbing contract as image_summary."""
+    narrow = df.select(url_col, payload_col)
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_audio(payload)
+                except (NotImplementedError, ValueError):
+                    rows.append((url, None, None, None, None))
+                    continue
+                rows.append(
+                    (
+                        url,
+                        int(rate),
+                        int(samples.shape[1]),
+                        int(samples.shape[0]),
+                        float(round(float(np.sqrt(np.mean(samples**2))), 6))
+                        if samples.size
+                        else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "sample_rate", "channels", "n_samples", "rms"]
+            )
+
+    return narrow.mapInPandas(_summarize, AUDIO_SUMMARY_SCHEMA)
+
+
 IMAGE_SUMMARY_SCHEMA = StructType(
     [
         StructField("url", StringType()),

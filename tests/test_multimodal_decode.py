@@ -77,3 +77,59 @@ def test_image_summary_thumbnail_path(spark):
     thumb = resize_nearest(img1, 4, 4)
     assert (out.width, out.height) == (4, 4)
     assert out.mean_intensity == round(float(thumb.astype(np.float64).mean()), 6)
+
+
+def make_wav(n: int, channels: int = 1, rate: int = 8000, seed: int = 0,
+             bits: int = 16) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    if bits == 16:
+        raw = rng.integers(-32768, 32768, (n, channels), dtype=np.int16)
+        data = raw.astype("<i2").tobytes()
+        samples = raw.astype(np.float64) / 32768.0
+    else:
+        raw = rng.integers(0, 256, (n, channels), dtype=np.uint8)
+        data = raw.tobytes()
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    block = channels * (bits // 8)
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    payload = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return payload, samples
+
+
+def test_decode_wav_16bit_stereo_roundtrip():
+    from mashing_pumpkins_spark.operators.multimodal import decode_audio
+
+    payload, samples = make_wav(100, channels=2, rate=44100, seed=4)
+    out, rate = decode_audio(payload)
+    assert rate == 44100 and out.shape == (100, 2)
+    assert np.allclose(out, samples)
+
+
+def test_decode_wav_8bit_and_unsupported():
+    from mashing_pumpkins_spark.operators.multimodal import decode_audio
+
+    payload, samples = make_wav(50, bits=8, seed=2)
+    out, _ = decode_audio(payload)
+    assert np.allclose(out, samples)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3 bytes here...")
+
+
+def test_audio_summary_reports_rms_and_null_rows(spark):
+    from mashing_pumpkins_spark.operators.multimodal import audio_summary
+
+    p1, s1 = make_wav(200, channels=2, rate=16000, seed=8)
+    rows = [("a", bytearray(p1)), ("b", bytearray(b"OggS..."))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r.url: r for r in audio_summary(df).collect()}
+    assert (out["a"].sample_rate, out["a"].channels, out["a"].n_samples) == (16000, 2, 200)
+    assert out["a"].rms == round(float(np.sqrt((s1 ** 2).mean())), 6)
+    assert out["b"].sample_rate is None and out["b"].rms is None
