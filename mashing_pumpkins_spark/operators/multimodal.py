@@ -80,6 +80,45 @@ def decode_image(payload: bytes) -> np.ndarray:
     return img[:, :, 0] if channels == 1 else img
 
 
+def _netpbm_extent(payload: bytes, pos: int) -> int:
+    """Length of the netpbm image starting at `pos` (header + raster)."""
+    start, fields = pos + 2, []
+    p = start
+    while len(fields) < 3:
+        while payload[p : p + 1].isspace():
+            p += 1
+        if payload[p : p + 1] == b"#":
+            while p < len(payload) and payload[p] != 0x0A:
+                p += 1
+            continue
+        s = p
+        while p < len(payload) and not payload[p : p + 1].isspace():
+            p += 1
+        fields.append(int(payload[s:p]))
+    p += 1
+    width, height, maxval = fields
+    channels = 3 if payload[pos : pos + 2] == b"P6" else 1
+    itemsize = 2 if maxval > 255 else 1
+    return (p - pos) + width * height * channels * itemsize
+
+
+def iter_frames(payload: bytes):
+    """Yield each frame of a concatenated-netpbm 'video' payload (the
+    deterministic stand-in for a real container format; real MP4/MKV
+    demuxers are absent here and would plug in at this seam) as a decoded
+    ndarray."""
+    pos = 0
+    while pos + 2 <= len(payload):
+        if payload[pos : pos + 2] not in (b"P5", b"P6"):
+            raise NotImplementedError(
+                f"frame {payload[pos:pos + 2]!r} at offset {pos} is not netpbm; "
+                "wire a real demuxer here"
+            )
+        extent = _netpbm_extent(payload, pos)
+        yield decode_image(payload[pos : pos + extent])
+        pos += extent
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via index arithmetic (no interpolation
     libraries): deterministic, O(out pixels), any channel count."""
@@ -214,6 +253,59 @@ def audio_summary(
             )
 
     return narrow.mapInPandas(_summarize, AUDIO_SUMMARY_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_k: int = 1,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample every k-th frame of concatenated-netpbm video payloads and
+    emit per-frame stats (one output row per SAMPLED frame) — the
+    frame-sampling shape of a video curation pipeline: bounded Arrow
+    batches, payload decoded once, undecodable payloads dropped with no
+    batch failure."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    narrow = df.select(url_col, payload_col)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    for idx, frame in enumerate(iter_frames(payload)):
+                        if idx % every_k:
+                            continue
+                        rows.append(
+                            (
+                                url,
+                                idx,
+                                int(frame.shape[1]),
+                                int(frame.shape[0]),
+                                float(round(frame.astype(np.float64).mean(), 6)),
+                            )
+                        )
+                except (NotImplementedError, ValueError):
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "frame_idx", "width", "height", "mean_intensity"],
+            )
+
+    return narrow.mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
 
 
 IMAGE_SUMMARY_SCHEMA = StructType(

@@ -133,3 +133,32 @@ def test_audio_summary_reports_rms_and_null_rows(spark):
     assert (out["a"].sample_rate, out["a"].channels, out["a"].n_samples) == (16000, 2, 200)
     assert out["a"].rms == round(float(np.sqrt((s1 ** 2).mean())), 6)
     assert out["b"].sample_rate is None and out["b"].rms is None
+
+
+def test_iter_frames_concatenated_netpbm():
+    from mashing_pumpkins_spark.operators.multimodal import iter_frames
+
+    frames = [make_ppm(4, 3, seed=i, comment=(i == 1)) for i in range(3)]
+    payload = b"".join(p for p, _ in frames)
+    out = list(iter_frames(payload))
+    assert len(out) == 3
+    for got, (_, want) in zip(out, frames):
+        assert np.array_equal(got, want)
+
+
+def test_frame_sample_every_k_and_bad_payloads(spark):
+    from mashing_pumpkins_spark.operators.multimodal import frame_sample
+    import pytest as _pytest
+
+    frames = [make_ppm(4, 4, seed=10 + i) for i in range(5)]
+    payload = b"".join(p for p, _ in frames)
+    rows = [("v", bytearray(payload)), ("bad", bytearray(b"mp4 junk"))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = frame_sample(df, every_k=2).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 2, 4]
+    assert all(r.url == "v" and (r.width, r.height) == (4, 4) for r in out)
+    for r in out:
+        want = frames[r.frame_idx][1].astype(np.float64).mean()
+        assert r.mean_intensity == round(float(want), 6)
+    with _pytest.raises(ValueError):
+        frame_sample(df, every_k=0)
