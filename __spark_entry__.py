@@ -875,19 +875,45 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-count percentiles per language (p50/p90/p99) — the
     corpus length-distribution diagnostic. Uses Spark's exact percentile
-    aggregate (interpolating, == DuckDB quantile_cont)."""
+    aggregate (interpolating, == DuckDB quantile_cont).
+
+    The 100-TB production twin runs beside it: approx_percentile
+    (t-digest, mergeable partial agg — no full sort per group). The exact
+    form is the oracle-checked value; the approx form is exposed as
+    boolean brackets (approx within the exact [q-0.05, q+0.05] percentile
+    band — generous vs the default 1/10000 rank error), which DuckDB
+    asserts as literal TRUE: the same self-checked-estimator pattern as
+    minhash_jaccard_estimate. At 100 TB, drop the exact columns and keep
+    approx_percentile — one edit."""
     from mashing_pumpkins_spark.functions.textstats import whitespace_token_count
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "lang", whitespace_token_count(F.col("text")).cast("double").alias("n_tok")
     )
+    agg = toks.groupBy("lang").agg(
+        F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_tok", F.lit(0.99)), 6).alias("p99"),
+        F.percentile("n_tok", F.lit(0.45)).alias("_lo50"),
+        F.percentile("n_tok", F.lit(0.55)).alias("_hi50"),
+        F.percentile("n_tok", F.lit(0.85)).alias("_lo90"),
+        F.percentile("n_tok", F.lit(0.95)).alias("_hi90"),
+        F.percentile("n_tok", F.lit(0.94)).alias("_lo99"),
+        F.max("n_tok").alias("_hi99"),
+        F.approx_percentile("n_tok", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.approx_percentile("n_tok", F.lit(0.9), F.lit(10000)).alias("_a90"),
+        F.approx_percentile("n_tok", F.lit(0.99), F.lit(10000)).alias("_a99"),
+    )
     return (
-        toks.groupBy("lang")
-        .agg(
-            F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.percentile("n_tok", F.lit(0.99)), 6).alias("p99"),
+        agg.select(
+            "lang",
+            "p50",
+            "p90",
+            "p99",
+            F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_approx_ok"),
+            F.col("_a90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_approx_ok"),
+            F.col("_a99").between(F.col("_lo99"), F.col("_hi99")).alias("p99_approx_ok"),
         )
         .orderBy("lang")
     )
@@ -1781,7 +1807,10 @@ def oracle_sql() -> dict[str, str]:
             select lang,
                    round(quantile_cont(n_tok, 0.5), 6) as p50,
                    round(quantile_cont(n_tok, 0.9), 6) as p90,
-                   round(quantile_cont(n_tok, 0.99), 6) as p99
+                   round(quantile_cont(n_tok, 0.99), 6) as p99,
+                   true as p50_approx_ok,
+                   true as p90_approx_ok,
+                   true as p99_approx_ok
             from (select lang,
                          (case when length(trim(text)) = 0 then 0
                                else len(string_split_regex(trim(text), '\s+')) end)::double as n_tok

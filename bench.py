@@ -184,6 +184,18 @@ def _kernel_throughput() -> float:
     return best
 
 
+def _embedding_lsh_prod(spark, sf_dir: str):
+    """embedding_near_dup_pairs_lsh at the PRODUCTION index size (8 bits x
+    16 tables — the SemDeDup operating point), cos >= 0.7, over the sf
+    embeddings table; the driver-gate query keeps the dense oracle form."""
+    from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs_lsh
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.7, n_tables=16, bits_per_table=8, bucket_cap=10000
+    )
+
+
 def run_default(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -209,22 +221,37 @@ def run_default(sf_dir: str, cpus: int) -> dict:
 
     bench_queries = [
         "sketch_stats",
-        "minhash_jaccard_estimate" if "0.01" in sf_dir else None,
+        "sketch_stats_max",
+        "minhash_signature",
         "pipeline_clusters",
         "pipeline_clusters_flow",
         "simhash_pairs",
         "substring_dup_pairs",
+        "substring_dup_spans",
+        "substring_clean_stats",
         "sketch_sharded_stats",
         "multi_sketch_one_pass",
+        "resketch_union_stats",
+        "shingle_multiplicity",
         "word_ngram_jaccard",
+        "dedup_exact",
+        "dedup_normalized",
         "lang_id",
         "quality_stats",
+        "fingerprint",
         "token_stats_by_lang",
+        "topk_docs_per_lang",
+        "length_percentiles",
+        "source_sketch_rollup",
+        "kmv_distinct_count",
         "embedding_near_pairs",
-        # embedding_near_pairs_lsh is deliberately NOT timed: its driver-gate
-        # form runs the dense (2-bit x 64-table) near-exhaustive index so its
-        # pair set provably equals the exact threshold set — an oracle form,
-        # quadratic by construction (like dedup.py's all-pairs oracles)
+        "embedding_dup_clusters",
+        # embedding_near_pairs_lsh (the driver-gate query) is deliberately
+        # NOT timed: that form runs the dense (2-bit x 64-table)
+        # near-exhaustive index so its pair set provably equals the exact
+        # threshold set — an oracle form, quadratic by construction. The
+        # PRODUCTION 8-bit x 16-table index is timed separately below as
+        # embedding_near_pairs_lsh_prod.
         "ann_topk",
         "ann_lsh",
         "ann_ivf",
@@ -255,6 +282,33 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         # queries that persist intermediates (simhash signatures) must not
         # leak cached blocks into the next measurement
         spark.catalog.clearCache()
+
+    # production-parameter embedding LSH (8 bits x 16 tables, SemDeDup
+    # shape) — the scale path whose driver-gate twin is the quadratic
+    # dense-index oracle form excluded above
+    t0 = time.monotonic()
+    _embedding_lsh_prod(spark, sf_dir).count()
+    timings["embedding_near_pairs_lsh_prod"] = round(time.monotonic() - t0, 3)
+    spark.catalog.clearCache()
+
+    # quadratic-oracle-form queries (crossJoin all-pairs over un-truncated
+    # signatures — deliberately the verification shape, dedup.py:62-65) are
+    # timed at the FIXED sf0.01 input so regressions stay visible without
+    # running an O(n^2) oracle at bench scale
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(sf001):
+        for name in (
+            "shingle_jaccard_exact",
+            "similarity_estimators",
+            "bray_curtis",
+            "minhash_jaccard_estimate",
+        ):
+            if name not in queries:
+                continue
+            t0 = time.monotonic()
+            queries[name](spark, sf001).count()
+            timings[f"{name}_sf001"] = round(time.monotonic() - t0, 3)
+            spark.catalog.clearCache()
     spark.stop()
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {

@@ -125,6 +125,7 @@ def simhash_pairs_from_values(
     id_col: str = "id",
     sh_col: str = "sh",
     index: str = "auto",
+    block_candidate_cap: int = 50_000_000,
 ) -> DataFrame:
     """Near-dup pairs from precomputed simhash values. Both index modes are
     LOSSLESS at the configured radius; exact hamming always verifies.
@@ -143,8 +144,21 @@ def simhash_pairs_from_values(
     C(d+2, 2) exploded rows per doc instead of d+1. This is the
     scale-safe default for radii >= 4.
 
-    index="auto" picks "pair" when single-block keys would be narrower
-    than 13 bits (max_hamming >= 4), else "block".
+    index="auto" is COST-BASED (round 4 — the width-only rule paid the
+    C(d+2,2)-key explode even on corpora where 7-bit buckets are harmless,
+    the one measured round-3 regression): when single-block keys are >= 13
+    bits, "block" wins outright; otherwise the distinct-value count n is
+    read (one count job over `sim` — cheap when the caller persisted it,
+    which simhash_near_pairs does by default) and block-mode's expected
+    uniform candidate volume (d+1) * n^2 / 2^(w_min+1) is compared against
+    ``block_candidate_cap``: below the cap the quadratic term is smaller
+    than the pair index's fixed overhead (wide explode codegen + a join
+    with C(d+2,2)x the keys — measured +3.5 s at 5k docs), above it the
+    block join grows quadratically while pair stays ~linear, so "pair"
+    wins. Skewed (non-uniform) value distributions only make block worse
+    than the estimate, so the cap errs toward "pair" exactly when it
+    should. Both modes emit the byte-identical pair set, so the choice is
+    purely physical.
 
     Dup-clique optimization (round 3): only DISTINCT sh values enter the
     blocking join. A web corpus is dup-heavy by construction — every member
@@ -155,8 +169,18 @@ def simhash_pairs_from_values(
     one row per value pair x member pair). Candidate volume becomes a
     function of DISTINCT values, not documents.
     """
+    members = sim.select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
+    values = members.select("sh").distinct()
     if index == "auto":
-        index = "pair" if (64 // (max_hamming + 1)) < 13 else "block"
+        w_min = 64 // (max_hamming + 1)
+        if w_min >= 13:
+            index = "block"
+        else:
+            n_values = values.count()
+            est_block_cands = (
+                (max_hamming + 1) * n_values * n_values / 2 ** (w_min + 1)
+            )
+            index = "pair" if est_block_cands > block_candidate_cap else "block"
     if index == "block":
         n_blocks = min(max_hamming + 1, 64)
         keys = [
@@ -184,8 +208,6 @@ def simhash_pairs_from_values(
     else:
         raise ValueError(f"unknown index mode: {index!r}")
 
-    members = sim.select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
-    values = members.select("sh").distinct()
     keyed = values.select(
         "sh", F.explode(F.array(*keys)).alias("blk")
     ).select("sh", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
@@ -234,6 +256,7 @@ def simhash_near_pairs(
     persist: bool = True,
     index: str = "auto",
     return_signatures: bool = False,
+    block_candidate_cap: int = 50_000_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: compute signatures (one vectorized UDF
     pass), then lossless multi-index blocking + exact hamming verify — see
@@ -246,7 +269,11 @@ def simhash_near_pairs(
     ``return_signatures=True`` to get ``(pairs, signatures)`` and call
     ``signatures.unpersist()`` once the pairs are materialized, or pass
     ``persist=False`` if the caller already materialized a signature table
-    (the scale path: signatures are a checkpointed stage anyway)."""
+    (the scale path: signatures are a checkpointed stage anyway). NOTE:
+    ``index="auto"`` at radius >= 4 runs a distinct-count job to pick the
+    physical index (see simhash_pairs_from_values) — with ``persist=False``
+    that count recomputes the signature UDF, so pass an explicit index or
+    keep the default persist."""
     sim = docs.select(
         F.col(id_col).alias("id"), make_simhash_udf(seed)(F.col(text_col)).alias("sh")
     )
@@ -254,5 +281,10 @@ def simhash_near_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sim = sim.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = simhash_pairs_from_values(sim, max_hamming=max_hamming, index=index)
+    pairs = simhash_pairs_from_values(
+        sim,
+        max_hamming=max_hamming,
+        index=index,
+        block_candidate_cap=block_candidate_cap,
+    )
     return (pairs, sim) if return_signatures else pairs

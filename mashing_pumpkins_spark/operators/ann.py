@@ -386,14 +386,22 @@ def ivf_cosine_topk(
     return _rerank_topk(cand_ids, vectors, q_ids, q_mat, k, id_col, vec_col)
 
 
-def _hyperplane_sigs_wide(
-    mat: np.ndarray, n_tables: int, bits_per_table: int, seed: int
+def _hyperplane_planes_wide(
+    dim: int, n_tables: int, bits_per_table: int, seed: int
 ) -> np.ndarray:
-    """(n, dim) -> (n, n_tables) int64 bucket signatures with a configurable
-    sign-pattern width — the pair-mode analog of _hyperplane_sigs (which is
-    fixed at 16 bits for the query-side top-k path)."""
+    """Deterministic (n_tables, bits_per_table, dim) gaussian planes for the
+    pair-mode index — the configurable-width analog of _hyperplane_planes."""
     rng = np.random.Generator(np.random.PCG64(seed ^ 0xE3B0_57A1))
-    planes = rng.standard_normal((n_tables, bits_per_table, mat.shape[1]))
+    return rng.standard_normal((n_tables, bits_per_table, dim))
+
+
+def _hyperplane_sigs_wide(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) x (n_tables, bits, dim) -> (n, n_tables) int64 bucket
+    signatures with a configurable sign-pattern width — the pair-mode analog
+    of _hyperplane_sigs (which is fixed at 16 bits for the query-side top-k
+    path). Planes are generated ONCE per task (round-4: hoisted out of the
+    per-batch path — at 64 tables the per-batch redraw was repeated work)."""
+    n_tables, bits_per_table = planes.shape[0], planes.shape[1]
     sigs = np.empty((mat.shape[0], n_tables), dtype=np.int64)
     for t in range(n_tables):
         bits = (mat @ planes[t].T > 0).astype(np.int64)
@@ -434,16 +442,27 @@ def embedding_near_dup_pairs_lsh(
     Dropped-bucket counts are the caller's to monitor via the returned
     plan; pass None (default) for the exact-recall form.
     """
-    spark = vectors.sparkSession
-    dim = len(vectors.select(vec_col).first()[0])
+    # id dtype passes through (round-4, like substring.py): urls/strings are
+    # as valid dedup keys as ints — the output schema mirrors the input's.
+    id_type = vectors.schema[id_col].dataType
+    pair_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
 
     @F.pandas_udf(ArrayType(LongType(), containsNull=False))
     def bucket_udf(vec_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = None  # generated once per task, on the first batch's dim
         for vecs in vec_iter:
             mat = np.array(list(vecs), dtype=np.float64)
-            yield pd.Series(
-                _hyperplane_sigs_wide(mat, n_tables, bits_per_table, seed).tolist()
-            )
+            if planes is None:
+                planes = _hyperplane_planes_wide(
+                    mat.shape[1], n_tables, bits_per_table, seed
+                )
+            yield pd.Series(_hyperplane_sigs_wide(mat, planes).tolist())
 
     buckets = vectors.select(
         F.col(id_col).alias("id"), F.explode(bucket_udf(F.col(vec_col))).alias("bucket")
@@ -479,13 +498,13 @@ def embedding_near_dup_pairs_lsh(
             keep = sims >= threshold
             yield pd.DataFrame(
                 {
-                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
-                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
                     "cos_sim": np.round(sims[keep], 6),
                 }
             )
 
-    return withv.mapInPandas(score, PAIR_SCHEMA)
+    return withv.mapInPandas(score, pair_schema)
 
 
 def embedding_near_dup_pairs(

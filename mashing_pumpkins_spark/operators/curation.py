@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import quality_score, whitespace_token_count
 from .corpus import decontaminate, passage_dedup_stats
+from .exact import content_key
 
 if TYPE_CHECKING:  # pragma: no cover
     from ..config import PipelineConfig
@@ -70,8 +71,13 @@ def curation_funnel(
     )
     # exact-dedup representative among quality survivors: min id per
     # content fingerprint, restricted to _q rows (ids are unique, so this
-    # equals row_number()==1 over (fp, id) among survivors)
-    w = Window.partitionBy(F.md5(F.encode(F.col(text_col), "utf-8")))
+    # equals row_number()==1 over (fp, id) among survivors). The key is the
+    # engine-wide 12-byte (len, xx64, mm32) content struct shared with
+    # operators/exact.py — smaller sort key than an md5 hex string, one
+    # content-key definition across the engine; the DuckDB replay groups by
+    # md5(text), equivalent for any content-determined key (collisions
+    # ~1e-5 at 10^12 docs, and a collision only merges two groups).
+    w = Window.partitionBy(content_key(text_col))
     flags = flags.withColumn(
         "_d",
         F.col("_q")

@@ -17,6 +17,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def content_key(text_col: str) -> F.Column:
+    """The engine-wide exact-content key: a 12-byte (len, xxhash64,
+    murmur3_32) struct over the text — shared by the pipeline's exact
+    collapse and the curation funnel so "same content" means one thing
+    everywhere. All three parts are JVM built-ins (no UDF)."""
+    return F.struct(
+        F.length(text_col).alias("len"),
+        F.xxhash64(F.encode(F.col(text_col), "utf-8")).alias("xx"),
+        F.hash(F.col(text_col)).alias("mm"),
+    )
+
+
 def collapse_exact_duplicates(
     docs: DataFrame, url_col: str = "url", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -29,14 +41,7 @@ def collapse_exact_duplicates(
     """
     from pyspark.sql.window import Window
 
-    keyed = docs.withColumn(
-        "_ck",
-        F.struct(
-            F.length(text_col).alias("len"),
-            F.xxhash64(F.encode(F.col(text_col), "utf-8")).alias("xx"),
-            F.hash(F.col(text_col)).alias("mm"),
-        ),
-    )
+    keyed = docs.withColumn("_ck", content_key(text_col))
     # hub via window min — ONE shuffle of the doc table instead of the
     # groupBy + join-back (which shuffles the full text payload twice)
     w = Window.partitionBy("_ck")

@@ -199,6 +199,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits not in (8, 16):
         raise NotImplementedError(f"PCM format {audio_format}/{bits}-bit unsupported")
+    if channels < 1 or sample_rate < 1:
+        # malformed fmt chunk: dividing by channels=0 would escape the
+        # null-row contract as ZeroDivisionError and fail the Spark task
+        raise ValueError(f"malformed fmt chunk: channels={channels} rate={sample_rate}")
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         samples = raw.astype(np.float64) / 32768.0
@@ -285,11 +289,12 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                payload_rows = []
                 try:
                     for idx, frame in enumerate(iter_frames(payload)):
                         if idx % every_k:
                             continue
-                        rows.append(
+                        payload_rows.append(
                             (
                                 url,
                                 idx,
@@ -299,7 +304,10 @@ def frame_sample(
                             )
                         )
                 except (NotImplementedError, ValueError):
+                    # drop the WHOLE payload: frames decoded before a
+                    # mid-payload failure must not leak partial rows
                     continue
+                rows.extend(payload_rows)
             yield pd.DataFrame(
                 rows,
                 columns=["url", "frame_idx", "width", "height", "mean_intensity"],

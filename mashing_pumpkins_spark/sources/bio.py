@@ -51,6 +51,13 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     multi-header '>gi|..|ref>..'), and splitting on bare '>' would cut that
     record mid-description. The file-leading '>' (not preceded by a
     newline) yields one empty-prefix row that the non-empty filter drops.
+
+    DOCUMENTED EDGE: a header that itself begins with '>' (file contains
+    '\\n>>hdr' — nonstandard FASTA) loses that extra '>' from its seq_id:
+    the normalizing strip below cannot distinguish "file-first record"
+    (which retains its delimiter '>') from a genuine '>>' header without a
+    per-file row-order shuffle. '>>' headers are outside the FASTA spec;
+    accepting the strip keeps the parse one JVM projection with no window.
     """
     raw = spark.read.option("lineSep", "\n>").text(path)
     rec = raw.select(

@@ -123,6 +123,36 @@ def test_decode_wav_8bit_and_unsupported():
         decode_audio(b"ID3\x04mp3 bytes here...")
 
 
+def test_decode_wav_zero_channels_raises_value_error_not_zerodiv():
+    """A malformed fmt chunk (channels=0) must raise ValueError — which the
+    operator-level null-row handler catches — not ZeroDivisionError, which
+    would escape it and fail the whole Spark task (round-4 ADVICE)."""
+    from mashing_pumpkins_spark.operators.multimodal import decode_audio
+
+    payload, _ = make_wav(20, channels=1, seed=1)
+    # fmt chunk starts at byte 20 (RIFF+size+WAVE+'fmt '+len); channels is
+    # its bytes [2:4], sample_rate its bytes [4:8]
+    broken_ch = bytearray(payload)
+    broken_ch[22:24] = (0).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        decode_audio(bytes(broken_ch))
+    broken_rate = bytearray(payload)
+    broken_rate[24:28] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_audio(bytes(broken_rate))
+
+
+def test_audio_summary_null_row_for_zero_channel_wav(spark):
+    from mashing_pumpkins_spark.operators.multimodal import audio_summary
+
+    payload, _ = make_wav(20, channels=1, seed=1)
+    broken = bytearray(payload)
+    broken[22:24] = (0).to_bytes(2, "little")
+    df = spark.createDataFrame([("z", broken)], "url string, payload binary")
+    out = audio_summary(df).collect()[0]
+    assert out.url == "z" and out.sample_rate is None and out.rms is None
+
+
 def test_audio_summary_reports_rms_and_null_rows(spark):
     from mashing_pumpkins_spark.operators.multimodal import audio_summary
 
@@ -162,3 +192,20 @@ def test_frame_sample_every_k_and_bad_payloads(spark):
         assert r.mean_intensity == round(float(want), 6)
     with _pytest.raises(ValueError):
         frame_sample(df, every_k=0)
+
+
+def test_frame_sample_drops_whole_payload_on_mid_payload_corruption(spark):
+    """A payload whose later frames are corrupt must emit NO rows — leading
+    frames decoded before the failure are rolled back (round-4 ADVICE: the
+    old code leaked them, contradicting the docstring)."""
+    from mashing_pumpkins_spark.operators.multimodal import frame_sample
+
+    good = [make_ppm(4, 4, seed=20 + i)[0] for i in range(2)]
+    corrupt = b"".join(good) + b"P6\n4 4\n255\n" + b"\x00" * 5  # truncated frame
+    clean = b"".join(make_ppm(4, 4, seed=30 + i)[0] for i in range(2))
+    df = spark.createDataFrame(
+        [("partial", bytearray(corrupt)), ("ok", bytearray(clean))],
+        "url string, payload binary",
+    )
+    out = frame_sample(df, every_k=1).collect()
+    assert sorted((r.url, r.frame_idx) for r in out) == [("ok", 0), ("ok", 1)]

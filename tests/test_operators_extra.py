@@ -167,6 +167,45 @@ def test_simhash_index_modes_equal(spark):
     assert block == pair and len(block) > 0
 
 
+def test_simhash_auto_index_is_cost_based(spark):
+    """Round-4: index="auto" at radius >= 4 picks the physical index from
+    the distinct-value count (estimated block-mode candidate volume vs
+    block_candidate_cap), not radius alone — the pair set must be
+    byte-identical down BOTH branches of the cost rule."""
+    import random
+
+    rng = random.Random(53)
+    to_i64 = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+    rows = []
+    for i in range(30):
+        base = rng.getrandbits(64)
+        rows.append((2 * i, to_i64(base)))
+        m = base
+        for p in rng.sample(range(64), 5):
+            m ^= 1 << p
+        rows.append((2 * i + 1, to_i64(m)))
+    sim = spark.createDataFrame(rows, "id long, sh long")
+    # default cap: 60 distinct values -> est block candidates ~ 9*60^2/256
+    # ~ 127 << 5e7 -> the cheap "block" branch
+    auto_block = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_values(sim, max_hamming=8).collect()
+    }
+    # cap=0 forces the "pair" branch of the same auto rule
+    auto_pair = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_values(
+            sim, max_hamming=8, block_candidate_cap=0
+        ).collect()
+    }
+    assert auto_block == auto_pair and len(auto_block) >= 30
+    # radius < 4 (>= 13-bit single-block keys): width rule, no count job
+    narrow = simhash_pairs_from_values(sim, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in narrow} <= {
+        (a, b) for a, b, _ in auto_block
+    }
+
+
 def test_embedding_pairs_lsh_planted_recall(spark):
     """Threshold-pair LSH at production density (8 bits x 16 tables) must
     recover planted high-cosine twins; the dense (2 x 64) index must equal
@@ -238,6 +277,37 @@ def test_embedding_pairs_lsh_bucket_cap(spark):
         emb, threshold=0.9, n_tables=4, bits_per_table=4
     ).count()
     assert capped == 0 and uncapped == 190
+
+
+def test_embedding_pairs_lsh_string_ids_and_empty_input(spark):
+    """Round-4 ADVICE: id dtype passes through (urls are valid dedup keys),
+    and construction on an empty DataFrame must not crash (the old first()
+    dim probe raised TypeError and burned a Spark job per call)."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs_lsh
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(32)
+    rows = [
+        ("url-a", base.tolist()),
+        ("url-b", (base + 0.01 * rng.standard_normal(32)).tolist()),
+        ("url-c", rng.standard_normal(32).tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.95, n_tables=8, bits_per_table=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {("url-a", "url-b")}
+    assert all(isinstance(r["id_a"], str) for r in out)
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    assert (
+        embedding_near_dup_pairs_lsh(
+            empty, threshold=0.9, n_tables=4, bits_per_table=2
+        ).count()
+        == 0
+    )
 
 
 def test_simhash_near_pairs_spark(spark):
