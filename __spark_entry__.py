@@ -1038,6 +1038,49 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(docs).orderBy("url")
 
 
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: each doc's first h*16 UTF-8 bytes
+    become a gray8 PNG (DEFLATE via stdlib zlib; filter type = doc_id % 5,
+    so all five scanline filters are exercised across the corpus), decoded
+    back by the native pure-numpy PNG decoder inside image_summary. The
+    oracle re-derives width/height/mean-intensity from the SAME source
+    bytes via hex arithmetic in SQL — so the whole encode -> DEFLATE ->
+    decode -> defilter path must be an exact identity on the pixels."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from mashing_pumpkins_spark.operators.multimodal import encode_png, image_summary
+
+    enc = F.encode(F.col("text"), "utf-8")
+    h = F.least(F.floor(F.octet_length(enc) / 16), F.lit(16)).cast("int")
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.octet_length(enc) >= 16)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.substring(enc, 1, h * 16).alias("px"),
+            h.alias("h"),
+            (F.col("doc_id") % 5).cast("int").alias("f"),
+        )
+    )
+
+    @F.pandas_udf(BinaryType())
+    def to_png(px: pd.Series, hh: pd.Series, ff: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_png(
+                    np.frombuffer(bytes(p), dtype=np.uint8).reshape(int(h_), 16),
+                    filter_type=int(f_),
+                )
+                for p, h_, f_ in zip(px, hh, ff)
+            ]
+        )
+
+    payloads = docs.select("url", to_png("px", "h", "f").alias("payload"))
+    return image_summary(payloads).orderBy("url")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1110,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "token_stats_cube": q_token_stats_cube,
         "image_decode_stats": q_image_decode_stats,
+        "png_decode_stats": q_png_decode_stats,
         "events_hourly": q_events_hourly,
     }
 
@@ -1861,6 +1905,26 @@ def oracle_sql() -> dict[str, str]:
         # round: pixel means are exact multiples of 2^-8, so 6-decimal
         # ties are common and the decoder's Python round() is half-even
         "image_decode_stats": """
+            with d as (
+              select doc_id, hex(encode(text)) as hx,
+                     octet_length(encode(text)) as n
+              from documents
+            ),
+            sized as (
+              select doc_id, hx, least(n // 16, 16) as h from d where n >= 16
+            ),
+            px as (
+              select doc_id, h,
+                     (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 as v
+              from sized, unnest(generate_series(1, h * 16)) as t(i)
+            )
+            select cast(doc_id as varchar) as url,
+                   16::bigint as width, h::bigint as height, 1::bigint as channels,
+                   round_even(avg(v), 6) as mean_intensity
+            from px group by doc_id, h order by url
+        """,
+        "png_decode_stats": """
             with d as (
               select doc_id, hex(encode(text)) as hx,
                      octet_length(encode(text)) as n

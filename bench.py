@@ -272,6 +272,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "stop_grams",
         "vocab_stats",
         "image_decode_stats",
+        "png_decode_stats",
     ]
     for name in bench_queries:
         if name is None or name not in queries:

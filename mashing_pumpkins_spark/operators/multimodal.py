@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The netpbm formats (PGM ``P5`` / PPM ``P6``) decode NATIVELY in pure
-numpy (decode_image), with nearest-neighbor resize (resize_nearest) and a
-decode -> resize -> featurize mapInPandas operator (image_summary).
-Compressed codecs (JPEG/PNG/audio/video) are NOT in this container, so
-those formats raise NotImplementedError from the same decode entry point
-— wire PIL/turbojpeg there at deploy time; the Spark plumbing (schema,
-Arrow batch shape, bounded batches, null-safe error rows) is identical.
+The netpbm formats (PGM ``P5`` / PPM ``P6``) and PNG (all five scanline
+filters, gray/RGB/palette/alpha at 8/16-bit, DEFLATE via stdlib zlib)
+decode NATIVELY in pure numpy (decode_image / decode_png), with
+nearest-neighbor resize (resize_nearest) and a decode -> resize ->
+featurize mapInPandas operator (image_summary). Codecs absent from this
+container (JPEG/WebP/MP3/MP4) raise NotImplementedError from the same
+decode entry points — wire PIL/turbojpeg/ffmpeg there at deploy time;
+the Spark plumbing (schema, Arrow batch shape, bounded batches,
+null-safe error rows) is identical.
 
 The byte-histogram "features" path (extract_binary_features) works on any
 binary payload without decoding — a 16-bin high-nibble histogram (L1
@@ -40,20 +42,214 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_defilter_row(
+    ftype: int, line: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one PNG scanline from its filtered bytes (spec filters
+    0-4). None/Sub/Up are fully vectorized (Sub is a per-lane prefix sum
+    mod 256); Average/Paeth carry a left-pixel dependency, so they loop
+    over pixels with the bpp lanes vectorized."""
+    stride = line.shape[0]
+    if ftype == 0:  # None
+        return line.copy()
+    if ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+        lanes = line.reshape(-1, bpp).astype(np.uint32)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+    if ftype == 2:  # Up
+        return (line.astype(np.uint16) + prior).astype(np.uint8)
+    out = np.empty(stride, dtype=np.uint8)
+    ln = line.astype(np.int16)
+    pr = prior.astype(np.int16)
+    left = np.zeros(bpp, dtype=np.int16)
+    if ftype == 3:  # Average
+        for x in range(0, stride, bpp):
+            val = (ln[x : x + bpp] + ((left + pr[x : x + bpp]) >> 1)) & 0xFF
+            out[x : x + bpp] = val
+            left = val
+        return out
+    if ftype == 4:  # Paeth
+        upleft = np.zeros(bpp, dtype=np.int16)
+        for x in range(0, stride, bpp):
+            up = pr[x : x + bpp]
+            p = left + up - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - up)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            val = (ln[x : x + bpp] + pred) & 0xFF
+            out[x : x + bpp] = val
+            upleft = up
+            left = val
+        return out
+    raise ValueError(f"invalid PNG filter type {ftype}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG in pure numpy + stdlib zlib (the PNG spec's DEFLATE
+    stream needs no external codec) — the first REAL compressed format
+    behind the decode seam. Supports non-interlaced images at bit depth
+    8/16, color types 0 (gray -> HxW), 2 (RGB -> HxWx3), 3 (palette ->
+    HxWx3), 4 (gray+alpha -> HxWx2), 6 (RGBA -> HxWx4); all five scanline
+    filters. Adam7 interlacing and sub-byte depths raise
+    NotImplementedError; structurally broken files raise ValueError.
+    16-bit output keeps the big-endian view, matching the netpbm path."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, compression, filter_method, interlace = ihdr[8:13]
+    if width < 1 or height < 1 or compression != 0 or filter_method != 0:
+        raise ValueError("malformed IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG without a valid PLTE")
+    bpp = channels * (depth // 8)
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG DEFLATE stream: {exc}") from exc
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data has wrong length")
+    recon = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        prior = _png_defilter_row(raw[off], line, prior, bpp)
+        recon[y] = prior
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = recon.reshape(height, width)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    if depth == 16:
+        img = np.ascontiguousarray(recon).view(">u2").reshape(height, width, channels)
+    else:
+        img = recon.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
+    """Minimal spec-following PNG encoder (uint8 gray/gray+alpha/RGB/RGBA,
+    one filter type applied to every scanline) — the export/thumbnail
+    companion of decode_png; roundtrips bit-exactly through it. The test
+    suite pins decode_png against an INDEPENDENT encoder, and the
+    `png_decode_stats` driver query checks this encode->decode identity
+    against a SQL oracle computed from the source bytes."""
+    import struct
+    import zlib
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    arr = np.ascontiguousarray(img)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png takes uint8 images")
+    if arr.ndim == 2:
+        channels, color = 1, 0
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        channels = arr.shape[2]
+        color = {2: 4, 3: 2, 4: 6}[channels]
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    rows = arr.reshape(h, w * channels).astype(np.int16)
+    bpp = channels
+    out = bytearray()
+    prior = np.zeros(w * channels, dtype=np.int16)
+    for y in range(h):
+        line = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - left
+        elif filter_type == 2:
+            filt = line - prior
+        elif filter_type == 3:
+            filt = line - ((left + prior) >> 1)
+        else:
+            upleft = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = line - pred
+        out += bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a binary netpbm image (PGM ``P5`` -> HxW, PPM ``P6`` ->
-    HxWx3; 8-bit or 16-bit big-endian) in pure numpy — a REAL decoder for
-    the formats this container can handle without external libraries.
-    Compressed formats (JPEG/PNG/...) still raise NotImplementedError:
-    their codecs are not present here; wire PIL/turbojpeg at deploy time.
-    The Spark-side contract either way is binary in, ndarray out."""
+    """Decode a binary image in pure numpy: netpbm (PGM ``P5`` -> HxW,
+    PPM ``P6`` -> HxWx3; 8-bit or 16-bit big-endian) and PNG (stdlib-zlib
+    DEFLATE — see decode_png) are REAL decoders with no external
+    libraries. Formats needing codecs absent from this container
+    (JPEG/WebP/...) still raise NotImplementedError from this same entry
+    point; wire PIL/turbojpeg there at deploy time. The Spark-side
+    contract either way is binary in, ndarray out."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise NotImplementedError(
             f"decode for format {magic!r} is stubbed in this environment; "
-            "only netpbm P5/P6 decode natively — wire PIL/turbojpeg here"
+            "only netpbm P5/P6 and PNG decode natively — wire PIL/turbojpeg here"
         )
     # header: magic, then 3 ASCII ints (width height maxval) separated by
     # whitespace, '#' comments running to end-of-line, then ONE whitespace

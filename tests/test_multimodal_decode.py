@@ -79,6 +79,172 @@ def test_image_summary_thumbnail_path(spark):
     assert out.mean_intensity == round(float(thumb.astype(np.float64).mean()), 6)
 
 
+def make_png(
+    img: np.ndarray,
+    color: int,
+    depth: int = 8,
+    filters: list[int] | None = None,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Minimal spec-following PNG encoder (test oracle): applies the given
+    per-row filter types (cycling), so the decoder's five filter paths are
+    each exercised against independently-filtered bytes."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    h, w = img.shape[0], img.shape[1]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    arr = img.reshape(h, w, channels)
+    if depth == 16:
+        rows = arr.astype(">u2").reshape(h, -1).view(np.uint8)
+    else:
+        rows = arr.astype(np.uint8).reshape(h, -1)
+    bpp = channels * (depth // 8)
+    filters = filters or [0]
+    out = bytearray()
+    prior = np.zeros(rows.shape[1], dtype=np.int16)
+    for y in range(h):
+        line = rows[y].astype(np.int16)
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) if bpp <= line.size else np.zeros_like(line)
+        upleft = (
+            np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+            if bpp <= line.size
+            else np.zeros_like(line)
+        )
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prior
+        elif f == 3:
+            filt = line - ((left + prior) >> 1)
+        else:  # Paeth
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+            filt = line - pred
+        out += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    body = b"".join(
+        [chunk(b"IHDR", ihdr)]
+        + ([chunk(b"PLTE", palette.astype(np.uint8).tobytes())] if palette is not None else [])
+        + [chunk(b"IDAT", zlib.compress(bytes(out))), chunk(b"IEND", b"")]
+    )
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_decode_png_gray8_all_filters(filters):
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(sum(filters) + 1)
+    img = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    out = decode_image(make_png(img, color=0, filters=filters))
+    assert out.shape == (11, 7)
+    assert np.array_equal(out, img), filters
+
+
+@pytest.mark.parametrize(
+    "color,channels", [(2, 3), (4, 2), (6, 4)]
+)
+def test_decode_png_multichannel_mixed_filters(color, channels):
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(color)
+    img = rng.integers(0, 256, (9, 13, channels), dtype=np.uint8)
+    out = decode_image(make_png(img, color=color, filters=[4, 3, 1, 2, 0]))
+    assert out.shape == (9, 13, channels)
+    assert np.array_equal(out, img)
+
+
+def test_decode_png_16bit_gray_and_rgb():
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(99)
+    gray = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+    out = decode_image(make_png(gray, color=0, depth=16, filters=[0, 2, 4]))
+    assert out.dtype == np.dtype(">u2") and out.shape == (6, 5)
+    assert np.array_equal(out.astype(np.uint16), gray)
+    rgb = rng.integers(0, 65536, (4, 3, 3), dtype=np.uint16)
+    out3 = decode_image(make_png(rgb, color=2, depth=16, filters=[1, 3]))
+    assert np.array_equal(out3.astype(np.uint16), rgb)
+
+
+def test_decode_png_palette():
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (8, 8), dtype=np.uint8)
+    out = decode_image(make_png(idx, color=3, filters=[1, 4], palette=pal))
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_decode_png_error_contract():
+    from mashing_pumpkins_spark.operators.multimodal import decode_image, decode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):  # Adam7
+        decode_image(make_png(img, color=0, interlace=1))
+    good = make_png(img, color=0)
+    with pytest.raises(ValueError):  # truncated chunk
+        decode_png(good[:30])
+    with pytest.raises(ValueError):  # corrupt DEFLATE stream
+        decode_png(good[:-30] + b"\x00" * 30)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks at all
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_encode_png_roundtrips_through_decoder(ftype):
+    """The library encoder must roundtrip bit-exactly through decode_png
+    for every filter type and channel count (the test-local make_png stays
+    the INDEPENDENT spec oracle for the decoder itself)."""
+    from mashing_pumpkins_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(40 + ftype)
+    gray = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(gray, ftype)), gray)
+    rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(rgba, ftype)), rgba)
+    with pytest.raises(ValueError):
+        encode_png(gray.astype(np.uint16), ftype)
+    with pytest.raises(ValueError):
+        encode_png(gray, 7)
+
+
+def test_image_summary_decodes_png_payloads(spark):
+    """The Spark operator path handles PNG through the same decode seam,
+    same null-row contract for the still-unsupported formats."""
+    from mashing_pumpkins_spark.operators.multimodal import image_summary
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    rows = [
+        ("png", bytearray(make_png(img, color=2, filters=[4, 2]))),
+        ("jpeg", bytearray(b"\xff\xd8\xff\xe0 jpeg bytes")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r.url: r for r in image_summary(df).collect()}
+    assert (out["png"].width, out["png"].height, out["png"].channels) == (10, 6, 3)
+    assert out["png"].mean_intensity == round(float(img.mean()), 6)
+    assert out["jpeg"].width is None
+
+
 def make_wav(n: int, channels: int = 1, rate: int = 8000, seed: int = 0,
              bits: int = 16) -> tuple[bytes, np.ndarray]:
     rng = np.random.default_rng(seed)
