@@ -521,16 +521,21 @@ def run_scaling() -> dict:
         "The scaling legs above cap at 4 cores to stay inside this VM's CPU "
         "quota; the default bench (BENCH_r*.json) runs the full pipeline at "
         "local[32]/16 input partitions, where the same sketch stage measures "
-        "21.7-38.4 MB/s across host states (round-3 fresh-host runs; spread "
-        "is the burst-credit swing) — 2.3-4.1x the reference's 9.43 MB/s "
-        "headline — and the 100k-page pipeline best-of-2 is 26.6-33.6 s (2,980-3,766 "
-        "docs/s). The pipeline job and sketch stage both report best-of-2 "
-        "after a measured ~2x first-run warm-up (python-worker spawn + JIT "
-        "+ page cache: 76.7 s cold vs 37.0 s warm, same session minutes "
-        "apart). Leg order within a scaling run is N first, then 4N: "
-        "sustained load drains burst credits, so the 4N leg generally "
-        "lands in a worse host state and raw efficiencies are conservative "
-        "in expectation.\n"
+        "13.7-38.4 MB/s across host states (round-3/4 runs; spread is the "
+        "burst-credit swing) — 1.5-4.1x the reference's 9.43 MB/s headline — "
+        "and the 100k-page pipeline best-of-2 is 26.6-34.5 s "
+        "(2,900-3,766 docs/s) on a fresh host. The pipeline job and sketch "
+        "stage both report best-of-2 after a measured ~2x first-run warm-up "
+        "(python-worker spawn + JIT + page cache: 76.7 s cold vs 37.0 s "
+        "warm, same session minutes apart). Round-4 caution: a FULL 52-query "
+        "bench now outlasts the credit window — in one recorded run the "
+        "probe opened at 15.9/55.0 MB/s, the headline landed at 34.5 s, and "
+        "tail queries then measured 2-5x their stable-host times (e.g. "
+        "pipeline_clusters 13.4 s stable vs 71.9 s post-collapse); compare "
+        "tail entries only across runs with matching probe states. Leg "
+        "order within a scaling run is N first, then 4N: sustained load "
+        "drains burst credits, so the 4N leg generally lands in a worse "
+        "host state and raw efficiencies are conservative in expectation.\n"
     )
     out["sketch_mb_per_sec"] = sketch_mb
     out["kernel_mb_per_sec_single_core"] = kernel_mb

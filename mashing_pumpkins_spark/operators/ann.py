@@ -418,13 +418,14 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Threshold-pair mode at scale: hyperplane buckets -> within-bucket
     candidate pairs -> exact cosine >= threshold (SemDeDup-shaped; the
     companion of embedding_near_dup_pairs, whose full-matrix broadcast is
     the <=1e6-vector verification form).
 
-    Plan shape: one UDF pass buckets each vector into n_tables sign
+    Plan shape: ONE UDF pass buckets each vector into n_tables sign
     patterns, candidates come from a bucket equi-self-join (ids only
     through the shuffle), vectors re-attach via two equi-joins, and the
     exact cosine runs as one einsum per Arrow batch — precision is exactly
@@ -438,9 +439,16 @@ def embedding_near_dup_pairs_lsh(
     ``bucket_cap``: skew guard — buckets holding more than this many
     vectors are dropped from candidate generation (a bucket of b vectors
     contributes C(b,2) pairs; at web scale a degenerate bucket, e.g. the
-    all-zeros sign pattern of zero vectors, would dominate the join).
-    Dropped-bucket counts are the caller's to monitor via the returned
-    plan; pass None (default) for the exact-recall form.
+    all-zeros sign pattern of zero vectors, would dominate the join). The
+    cap is one window count over the bucket shuffle — no extra agg+join.
+
+    The bucket table feeds both self-join sides (plus the cap window), so
+    by default it is persisted — the round-4 plan audit caught Catalyst
+    re-running the bucketing UDF once per consumer (4x at scale with the
+    cap on). CACHE CONTRACT (same as simhash_near_pairs): blocks live
+    until the returned pairs are materialized and the caller moves on; in
+    the production pipeline the bucket table is a checkpointed stage and
+    callers pass ``persist=False``.
     """
     # id dtype passes through (round-4, like substring.py): urls/strings are
     # as valid dedup keys as ints — the output schema mirrors the input's.
@@ -468,10 +476,16 @@ def embedding_near_dup_pairs_lsh(
         F.col(id_col).alias("id"), F.explode(bucket_udf(F.col(vec_col))).alias("bucket")
     )
     if bucket_cap is not None:
-        sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_n"))
-        buckets = buckets.join(
-            sizes.where(F.col("_n") <= bucket_cap), "bucket"
-        ).drop("_n")
+        w = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= bucket_cap)
+            .drop("_n")
+        )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.select("bucket", F.col("id").alias("id_a"))
     b = buckets.select("bucket", F.col("id").alias("id_b"))
     cand = (

@@ -70,6 +70,17 @@ def main() -> None:
         id_col="url",
         text_col="text",
     )
+    from mashing_pumpkins_spark.functions.simhash import simhash_pairs_from_values
+    from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_lsh = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.7, n_tables=16, bits_per_table=8, bucket_cap=10000
+    )
+    sim_vals = pages.select(
+        F.col("url").alias("id"), F.xxhash64("text").alias("sh")
+    )
+    sim_pairs = simhash_pairs_from_values(sim_vals, max_hamming=8, index="pair")
 
     sections = [
         (
@@ -129,6 +140,29 @@ def main() -> None:
             "equi-join and the per-candidate signature join — no scan of "
             "committed text, no cartesian; batch cost scales with the "
             "batch, not the corpus.",
+        ),
+        (
+            "embedding threshold-pair LSH (production 8x16 index)",
+            emb_lsh,
+            "Check: the bucket table (ArrowEvalPython + explode + window "
+            "cap) is persisted and shows as InMemoryTableScan at every "
+            "consumer — the bucketing UDF runs ONCE (the first dump of "
+            "this plan caught Catalyst re-running it 4x, once per "
+            "consumer; round-4 fix). Candidates travel ids-only through "
+            "the bucket equi-self-join + distinct; vectors re-attach via "
+            "two equi-joins; exact cosine is one mapInPandas einsum; "
+            "bucket_cap is one window count over the bucket shuffle; no "
+            "cartesian anywhere.",
+        ),
+        (
+            "simhash block-pair multi-index (the scale branch of the "
+            "round-4 cost-based auto pick)",
+            sim_pairs,
+            "Check: only DISTINCT sh values enter the blocking join "
+            "(Aggregate before the explode); C(d+2,2) keys explode from a "
+            "pure-JVM array of structs; value-pair join and both member "
+            "joins are hash equi-joins; exact hamming (bit_count of xor) "
+            "verifies JVM-side — no Python anywhere in this operator.",
         ),
     ]
     out = [
