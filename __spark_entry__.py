@@ -1072,6 +1072,7 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 encode_png(
                     np.frombuffer(bytes(p), dtype=np.uint8).reshape(int(h_), 16),
                     filter_type=int(f_),
+                    level=1,  # pipeline-internal payload: fastest DEFLATE
                 )
                 for p, h_, f_ in zip(px, hh, ff)
             ]

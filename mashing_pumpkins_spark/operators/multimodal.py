@@ -165,10 +165,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, 0] if channels == 1 else img
 
 
-def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
+def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
     """Minimal spec-following PNG encoder (uint8 gray/gray+alpha/RGB/RGBA,
-    one filter type applied to every scanline) — the export/thumbnail
-    companion of decode_png; roundtrips bit-exactly through it. The test
+    one filter type applied to every scanline; ``level`` is the DEFLATE
+    effort, 1 = fastest for pipeline-internal payloads, 6 = zlib default
+    for export) — the export/thumbnail companion of decode_png;
+    roundtrips bit-exactly through it at any level. The test
     suite pins decode_png against an INDEPENDENT encoder, and the
     `png_decode_stats` driver query checks this encode->decode identity
     against a SQL oracle computed from the source bytes."""
@@ -228,7 +230,7 @@ def encode_png(img: np.ndarray, filter_type: int = 4) -> bytes:
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IDAT", zlib.compress(bytes(out), level))
         + chunk(b"IEND", b"")
     )
 

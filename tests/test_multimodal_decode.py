@@ -221,6 +221,7 @@ def test_encode_png_roundtrips_through_decoder(ftype):
     assert np.array_equal(decode_image(encode_png(gray, ftype)), gray)
     rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_png(rgba, ftype)), rgba)
+    assert np.array_equal(decode_image(encode_png(gray, ftype, level=1)), gray)
     with pytest.raises(ValueError):
         encode_png(gray.astype(np.uint16), ftype)
     with pytest.raises(ValueError):
