@@ -1082,6 +1082,48 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(payloads).orderBy("url")
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the key web-crawl pre-dedup step): each doc
+    gets a deterministically MESSY absolute URL (scheme/host case variants,
+    default and non-default ports, trailing slash, tracking query params,
+    fragment — all driven by doc_id arithmetic), normalized by the pure-JVM
+    canonicalize_url / host_of Column algebra. The oracle derives the
+    expected canonical form INDEPENDENTLY from the same arithmetic (it
+    never parses the messy string), so every normalization rule is
+    value-checked per row."""
+    from mashing_pumpkins_spark.functions.urltools import canonicalize_url, host_of
+
+    d = F.col("doc_id")
+    scheme_m = (
+        F.when(d % 3 == 0, "HTTP").when(d % 3 == 1, "http").otherwise("HTTPS")
+    )
+    hostcore = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    host_m = F.when(d % 2 == 0, F.upper(hostcore)).otherwise(hostcore)
+    port_m = (
+        F.when(d % 4 == 0, ":80")
+        .when(d % 4 == 1, ":443")
+        .when(d % 4 == 2, ":8080")
+        .otherwise("")
+    )
+    path_m = F.concat(
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, "/").otherwise(""),
+    )
+    query_m = F.when(d % 2 == 0, "?b=2&utm_source=feed&a=1&ref=rss").otherwise("")
+    frag_m = F.concat(F.lit("#s"), (d % 7).cast("string"))
+    messy = F.concat(scheme_m, F.lit("://"), host_m, port_m, path_m, query_m, frag_m)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            canonicalize_url(messy).alias("canonical"),
+            host_of(messy).alias("host"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1155,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_cube": q_token_stats_cube,
         "image_decode_stats": q_image_decode_stats,
         "png_decode_stats": q_png_decode_stats,
+        "url_canonical": q_url_canonical,
         "events_hourly": q_events_hourly,
     }
 
@@ -1949,5 +1992,21 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
             from events group by 1, 2 order by hour, event_type
+        """,
+        "url_canonical": """
+            select doc_id,
+                   (case when doc_id % 3 = 2 then 'https' else 'http' end)
+                   || '://www.' || source || '.example.com'
+                   || (case when doc_id % 4 = 0 then
+                              (case when doc_id % 3 = 2 then ':80' else '' end)
+                            when doc_id % 4 = 1 then
+                              (case when doc_id % 3 = 2 then '' else ':443' end)
+                            when doc_id % 4 = 2 then ':8080'
+                            else '' end)
+                   || '/Docs/' || doc_id
+                   || (case when doc_id % 2 = 0 then '?a=1&b=2' else '' end)
+                     as canonical,
+                   'www.' || source || '.example.com' as host
+            from documents order by doc_id
         """,
     }

@@ -273,6 +273,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "vocab_stats",
         "image_decode_stats",
         "png_decode_stats",
+        "url_canonical",
     ]
     for name in bench_queries:
         if name is None or name not in queries:

@@ -1,0 +1,84 @@
+"""URL canonicalization — pure JVM Column expressions.
+
+A Common-Crawl-scale pipeline dedups and aggregates by URL before it ever
+touches content: the same page is crawled under scheme/host case variants,
+default ports, trailing slashes, tracking query parameters, and fragments.
+`canonicalize_url` folds those variants to one canonical form so exact-URL
+dedup and per-host statistics shuffle on a stable key; `host_of` extracts
+the registrable host for host-level aggregation (crawl budgets, per-site
+quality priors, robots bookkeeping).
+
+Everything here is regexp/array Column algebra — no UDF, fully
+whole-stage-codegen'd, and replayable in ANSI SQL (the `url_host_stats`
+driver query value-checks the normalization per row against an oracle
+that derives the canonical form independently from the construction
+parameters rather than by re-running these expressions).
+
+Canonical form (conservative, lossless for same-resource variants):
+  - scheme and authority lowercased
+  - fragment dropped
+  - default ports stripped (:80 for http, :443 for https)
+  - trailing slashes on the path removed ('/a/b/' == '/a/b'; a bare root
+    '/' folds into the authority)
+  - tracking query parameters removed (utm_*, fbclid, gclid, ref),
+    remaining parameters sorted for order-insensitivity, '?' dropped if
+    nothing survives
+Inputs without a scheme are returned trimmed but otherwise untouched
+(relative references are not URLs to canonicalize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+
+def _authority(rest: Column) -> Column:
+    return F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute URL (see module docstring)."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(u, _SCHEME_RE, ""), r"#.*$", ""  # strip fragment
+    )
+    auth = _authority(rest)
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    pathq = F.regexp_extract(rest, r"^[^/?]*([/?].*)?$", 1)
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qstr = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of an absolute URL, any port stripped; empty string
+    for scheme-less inputs."""
+    u = F.trim(url)
+    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
+    auth = _authority(F.regexp_replace(u, _SCHEME_RE, ""))
+    return F.when(
+        scheme == "", F.lit("")
+    ).otherwise(F.regexp_replace(auth, r":[0-9]+$", ""))
