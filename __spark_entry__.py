@@ -1082,6 +1082,14 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(payloads).orderBy("url")
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 structural rule battery: per-rule boolean + conjunctive
+    keep per doc, all pure JVM Column algebra — full SQL value oracle."""
+    from mashing_pumpkins_spark.operators.corpus import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the key web-crawl pre-dedup step): each doc
     gets a deterministically MESSY absolute URL (scheme/host case variants,
@@ -1198,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "png_decode_stats": q_png_decode_stats,
         "url_canonical": q_url_canonical,
+        "gopher_rules": q_gopher_rules,
         "events_hourly": q_events_hourly,
     }
 
@@ -1992,6 +2001,65 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
             from events group by 1, 2 order by hour, event_type
+        """,
+        "gopher_rules": r"""
+            with w as (
+              select doc_id, text,
+                     case when length(trim(text)) > 0
+                          then string_split_regex(lower(trim(text)), '\s+')
+                          else [] end as w
+              from documents
+            ),
+            m as (
+              select doc_id, text, w,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(trim(x)) > 0) as lines,
+                     len(w) as n_words,
+                     greatest(len(w), 1)::double as nw,
+                     coalesce(list_aggregate(
+                       list_transform(w, x -> length(x)), 'sum'), 0) as total_len
+              from w
+            ),
+            r as (
+              select doc_id, text, w, lines, n_words, nw, total_len,
+                     greatest(len(lines), 1)::double as nl
+              from m
+            )
+            select doc_id,
+              (n_words >= 50 and n_words <= 100000) as r_nwords,
+              (total_len / nw >= 3.0 and total_len / nw <= 10.0) as r_meanlen,
+              (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / nw > 0.8)
+                as r_alpha,
+              (len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '^(-|\*|•)'))) / nl < 0.9)
+                as r_bullet,
+              (len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) / nl < 0.3)
+                as r_ellipsis,
+              (((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                + (length(text) - length(replace(text, '…', '')))) / nw < 0.1)
+                as r_symbol,
+              (len(list_filter(list_distinct(w),
+                   x -> list_contains(['the','and','of','to','is','in','that',
+                                       'for','with','a','an','it','on','as',
+                                       'at','by'], x))) >= 2)
+                as r_stop,
+              ((n_words >= 50 and n_words <= 100000)
+               and (total_len / nw >= 3.0 and total_len / nw <= 10.0)
+               and (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / nw > 0.8)
+               and (len(list_filter(lines,
+                        x -> regexp_matches(trim(x), '^(-|\*|•)'))) / nl < 0.9)
+               and (len(list_filter(lines,
+                        x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) / nl < 0.3)
+               and (((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3
+                     + (length(text) - length(replace(text, '…', '')))) / nw < 0.1)
+               and (len(list_filter(list_distinct(w),
+                        x -> list_contains(['the','and','of','to','is','in',
+                                            'that','for','with','a','an','it',
+                                            'on','as','at','by'], x))) >= 2)) as keep
+            from r order by doc_id
         """,
         "url_canonical": """
             select doc_id,

@@ -274,6 +274,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "image_decode_stats",
         "png_decode_stats",
         "url_canonical",
+        "gopher_rules",
     ]
     for name in bench_queries:
         if name is None or name not in queries:

@@ -265,3 +265,85 @@ def hash_sample_stats(
         .agg(F.count("*").alias("n_docs"), F.sum("s").alias("n_sampled"))
         .orderBy(group_col)
     )
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style rule-filter battery (Rae et al. 2021 §A1.1; Raffel
+    et al. 2020): one boolean per rule plus the conjunctive `keep` flag,
+    so a curation run can report per-rule kill counts, not just survivors.
+    Complements `repetition_stats` (which measures repetition mass) and
+    textstats.quality_score (a scalar score): these are the hard
+    structural gates.
+
+    Rules (all pure JVM Column algebra — array lambdas + regexp — and
+    exact ANSI-SQL replayable; thresholds are the published ones):
+      r_nwords   50 <= word count <= 100000
+      r_meanlen  3 <= mean word length <= 10
+      r_alpha    > 80% of words contain an alphabetic character
+      r_bullet   < 90% of lines start with a bullet (-, *, •)
+      r_ellipsis < 30% of lines end with an ellipsis
+      r_symbol   (# + ellipsis occurrences) / words < 0.1
+      r_stop     contains >= 2 distinct common stopwords
+
+    Scale: one projection, no shuffle at all — the filter runs at scan
+    speed and the per-rule aggregation (if wanted) is one groupBy over
+    booleans."""
+    w = words_array(F.col(text_col))
+    n_words = F.size(w)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nw
+    )
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nw
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^(-|\\*|•)"))).cast(
+            "double"
+        )
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"))
+        ).cast("double")
+        / nl
+    )
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3) + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
+    # the engine-wide 16-word English stoplist (textstats._EN_STOPWORDS) —
+    # one stopword definition across quality_score, lang_id, and this gate
+    from ..functions.textstats import _EN_STOPWORDS
+
+    stops = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(F.array_distinct(w), lambda x: F.array_contains(stops, x))
+    )
+    flags = docs.select(
+        F.col(id_col),
+        ((n_words >= 50) & (n_words <= 100000)).alias("r_nwords"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_meanlen"),
+        (alpha_frac > 0.8).alias("r_alpha"),
+        (bullet_frac < 0.9).alias("r_bullet"),
+        (ellipsis_frac < 0.3).alias("r_ellipsis"),
+        (symbol_ratio < 0.1).alias("r_symbol"),
+        (stop_hits >= 2).alias("r_stop"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("r_nwords")
+        & F.col("r_meanlen")
+        & F.col("r_alpha")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_symbol")
+        & F.col("r_stop"),
+    )

@@ -231,3 +231,42 @@ def test_corpus_plans_stay_jvm_side(corpus_frames, name):
 def test_decontamination_broadcasts_benchmark_grams(corpus_frames):
     plan = corpus_frames["decon"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_each_rule_kills_its_planted_defect(spark):
+    """One crafted doc per rule: fails exactly that rule (plus any rule its
+    construction necessarily also breaks), and a clean doc passes all."""
+    from mashing_pumpkins_spark.operators.corpus import gopher_rules
+
+    stops = "the and of to is in that for with"
+    clean = (" ".join(f"word{i}" for i in range(60)) + " " + stops).strip()
+    rows = [
+        (0, clean, "s"),
+        (1, "too short " + stops, "s"),  # r_nwords
+        (2, " ".join("supercalifragilistic" for _ in range(60)) + " " + stops, "s"),  # r_meanlen (mean>10)
+        (3, " ".join("12345" for _ in range(60)) + " " + stops, "s"),  # r_alpha
+        (4, "\n".join(f"- bullet {i} {stops}" for i in range(60)), "s"),  # r_bullet
+        (5, "\n".join(f"line {i} {stops} trails off..." for i in range(60)), "s"),  # r_ellipsis
+        (6, " ".join("#" for _ in range(30)) + " " + " ".join(f"w{i}" for i in range(30)) + " " + stops, "s"),  # r_symbol
+        (7, " ".join(f"nostop{i}" for i in range(60)), "s"),  # r_stop
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(_docs(spark, rows)).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["r_nwords"] is False
+    assert out[2]["r_meanlen"] is False
+    assert out[3]["r_alpha"] is False
+    assert out[4]["r_bullet"] is False
+    assert out[5]["r_ellipsis"] is False
+    assert out[6]["r_symbol"] is False
+    assert out[7]["r_stop"] is False
+    for d in range(1, 8):
+        assert out[d]["keep"] is False
+
+
+def test_gopher_rules_plan_stays_jvm_side(spark):
+    from mashing_pumpkins_spark.operators.corpus import gopher_rules
+
+    df = gopher_rules(_docs(spark, [(1, "a b c", "s")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert bad not in plan, bad
