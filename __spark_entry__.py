@@ -766,6 +766,42 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, benchmark, n=4)
 
 
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^9-gram decontamination scale path: broadcast Bloom bitarray
+    probed in one shuffle-free mapInPandas pass, against the same
+    train/benchmark split as `decontamination`. Output carries the EXACT
+    contamination flag (full SQL oracle value) plus the per-row
+    no-false-negative boolean (bloom flags every truly-contaminated doc;
+    its sized false-positive rate can only over-drop) — the oracle
+    asserts the boolean TRUE, so a bloom that ever misses real
+    contamination fails the value hash."""
+    from mashing_pumpkins_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    exact = decontaminate(train, benchmark, n=4).select(
+        "doc_id", F.col("contaminated").alias("contaminated_exact")
+    )
+    bloom = decontaminate_bloom(train, benchmark, n=4, m_bits=1 << 22).select(
+        "doc_id", F.col("contaminated").alias("_bloom")
+    )
+    return (
+        exact.join(bloom, "doc_id")
+        .select(
+            "doc_id",
+            "contaminated_exact",
+            (F.col("_bloom") >= F.col("contaminated_exact")).alias(
+                "bloom_no_false_negative"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality signals per doc: distinct-word
     ratio, top-word mass, top-2-gram mass."""
@@ -1194,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "passage_dedup_stats": q_passage_dedup_stats,
         "decontamination": q_decontamination,
+        "decontamination_bloom": q_decontamination_bloom,
         "repetition_stats": q_repetition_stats,
         "hash_sample_stats": q_hash_sample_stats,
         "curation_funnel": q_curation_funnel,
@@ -1763,6 +1800,33 @@ def oracle_sql() -> dict[str, str]:
             select d.doc_id,
                    coalesce(n_overlap, 0)::bigint as n_overlap,
                    (coalesce(n_overlap, 0) > 0)::int as contaminated
+            from documents d left join hits using (doc_id)
+            where d.doc_id % 10 <> 0
+            order by d.doc_id
+        """,
+        "decontamination_bloom": r"""
+            with toks as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            grams as (
+              select doc_id, dg.g
+              from toks,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 3, 0)),
+                     i -> array_to_string(w[i:i+3], ' ')))) as dg(g)
+            ),
+            bench as (select distinct g from grams where doc_id % 10 = 0),
+            hits as (
+              select g2.doc_id, count(*) as n_overlap
+              from grams g2 join bench using (g)
+              where g2.doc_id % 10 <> 0 group by 1
+            )
+            select d.doc_id,
+                   (coalesce(n_overlap, 0) > 0)::int as contaminated_exact,
+                   true as bloom_no_false_negative
             from documents d left join hits using (doc_id)
             where d.doc_id % 10 <> 0
             order by d.doc_id

@@ -260,6 +260,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         # corpus-curation ops (pure JVM Column expressions)
         "passage_dedup_stats",
         "decontamination",
+        "decontamination_bloom",
         "repetition_stats",
         "hash_sample_stats",
         "curation_funnel",

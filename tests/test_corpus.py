@@ -270,3 +270,67 @@ def test_gopher_rules_plan_stays_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in ("ArrowEvalPython", "BatchEvalPython", "Exchange"):
         assert bad not in plan, bad
+
+
+def test_decontaminate_bloom_no_false_negatives_and_equality_when_sized(spark):
+    """A well-sized bloom must flag EXACTLY the docs the exact operator
+    flags (FPR negligible at this scale); any bloom must never miss one."""
+    from mashing_pumpkins_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"clean text one with words {' '.join(f'a{i}' for i in range(10))}", "s"),
+        (2, f"this doc contains {shared} inside it", "s"),
+        (3, "totally different content entirely here now", "s"),
+        (4, shared + " again word word", "s"),
+    ]
+    bench = [(100, f"benchmark includes {shared} somewhere", "s")]
+    docs, benchmark = _docs(spark, rows), _docs(spark, bench)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, benchmark, n=4).collect()
+    }
+    sized = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(docs, benchmark, n=4, m_bits=1 << 20).collect()
+    }
+    assert sized == exact and exact[2] == 1 and exact[4] == 1 and exact[1] == 0
+    # adversarially tiny bloom: false positives allowed, misses NEVER
+    tiny = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(docs, benchmark, n=4, m_bits=64).collect()
+    }
+    assert all(tiny[d] >= exact[d] for d in exact)
+
+
+def test_decontaminate_bloom_fpr_bounded(spark):
+    """At m=2^20 bits / k=4 over a handful of grams, the theoretical FPR
+    is ~1e-20 — 200 random clean docs must produce zero false flags."""
+    from mashing_pumpkins_spark.operators.corpus import decontaminate_bloom
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(10**9)}" for _ in range(30)), "s")
+        for i in range(200)
+    ]
+    bench = [(1000, "completely separate benchmark gram stream here", "s")]
+    out = decontaminate_bloom(
+        _docs(spark, rows), _docs(spark, bench), n=4, m_bits=1 << 20
+    ).collect()
+    assert sum(r["contaminated"] for r in out) == 0
+
+
+def test_build_gram_bloom_validation():
+    from mashing_pumpkins_spark.operators.corpus import build_gram_bloom
+
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        build_gram_bloom(["x"], m_bits=100)  # not a power of two
+    arr = build_gram_bloom([], m_bits=1 << 10)
+    assert arr.sum() == 0 and arr.dtype == np.uint64
