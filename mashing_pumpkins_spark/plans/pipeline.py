@@ -64,11 +64,22 @@ def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     cfg: PipelineConfig,
-    checkpoint_dir: str,
+    checkpoint_dir: str | None = None,
+    store=None,
 ) -> tuple[DataFrame, RunReport]:
     """Returns (clusters(url, cluster_id), report). Only docs that belong to
-    some near-duplicate cluster appear; all other urls are singletons."""
-    store = ParquetCheckpointStore(checkpoint_dir, cfg.config_hash())
+    some near-duplicate cluster appear; all other urls are singletons.
+
+    Stage storage is pluggable (round-4): pass ``store`` (anything with
+    the CheckpointStore contract — get_or_compute/has/read/manifest, e.g.
+    plans.iceberg.IcebergCheckpointStore) to commit stages to a catalog
+    instead of the default parquet store built from ``checkpoint_dir``;
+    the Iceberg integration test runs this whole pipeline against an
+    Iceberg catalog whenever the runtime jar is present."""
+    if store is None:
+        if checkpoint_dir is None:
+            raise ValueError("run_pipeline needs checkpoint_dir or store")
+        store = ParquetCheckpointStore(checkpoint_dir, cfg.config_hash())
     report = RunReport()
 
     def stage(name: str, compute) -> DataFrame:

@@ -113,6 +113,40 @@ _DRIVER = textwrap.dedent(
         ).count()
         assert n in (100, 10), (table, n)
 
+    # the FULL near-dup pipeline with every stage committed to Iceberg —
+    # the north star's literal sentence (checkpoints + mid-pipeline resume)
+    from pyspark.sql import functions as F
+
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=256, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    base = spark.range(120).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("url"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog number "),
+            # ids 0/1 share text (exact dup), the rest are distinct
+            F.when(F.col("id") < 2, F.lit("0")).otherwise(F.col("id").cast("string")),
+            F.lit(" with enough trailing content to shingle properly at k twenty one"),
+        ).alias("text"),
+    )
+    pstore = IcebergCheckpointStore(spark, "lake.pipe1", cfg.config_hash())
+    clusters, report = run_pipeline(spark, base, cfg, store=pstore)
+    got = {(r["url"], r["cluster_id"]) for r in clusters.collect()}
+    assert ("000001", "000000") in got, got  # the planted exact-dup pair
+    assert len(report.stages) == 7 and not any(s.skipped for s in report.stages)
+
+    # resume: a second run must skip every committed stage
+    pstore2 = IcebergCheckpointStore(spark, "lake.pipe1", cfg.config_hash())
+    clusters2, report2 = run_pipeline(spark, base, cfg, store=pstore2)
+    assert all(s.skipped for s in report2.stages)
+    assert {(r["url"], r["cluster_id"]) for r in clusters2.collect()} == got
+
     print("ICEBERG_INTEGRATION_OK")
     spark.stop()
     """
