@@ -291,16 +291,26 @@ def gopher_rules(
     Scale: one projection, no shuffle at all — the filter runs at scan
     speed and the per-rule aggregation (if wanted) is one groupBy over
     booleans."""
-    w = words_array(F.col(text_col))
+    rules = gopher_rule_columns(F.col(text_col))
+    flags = docs.select(F.col(id_col), *[c.alias(name) for name, c in rules])
+    keep = F.lit(True)
+    for name, _c in rules:
+        keep = keep & F.col(name)
+    return flags.withColumn("keep", keep)
+
+
+def gopher_rule_columns(text: Column) -> list[tuple[str, Column]]:
+    """The (name, boolean Column) list behind gopher_rules — exposed so
+    stream-side admission (streaming/curation_stream.py) applies the
+    identical gates without an id-keyed join."""
+    w = words_array(text)
     n_words = F.size(w)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_len = (
         F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nw
     )
     alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nw
-    lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
-    )
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
     nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(F.filter(lines, lambda l: F.trim(l).rlike("^(-|\\*|•)"))).cast(
@@ -314,11 +324,10 @@ def gopher_rules(
         ).cast("double")
         / nl
     )
-    t = F.col(text_col)
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
     n_ellipsis = (
-        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / F.lit(3) + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3) + (F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit(""))))
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
     # the engine-wide 16-word English stoplist (textstats._EN_STOPWORDS) —
     # one stopword definition across quality_score, lang_id, and this gate
@@ -328,26 +337,15 @@ def gopher_rules(
     stop_hits = F.size(
         F.filter(F.array_distinct(w), lambda x: F.array_contains(stops, x))
     )
-    flags = docs.select(
-        F.col(id_col),
-        ((n_words >= 50) & (n_words <= 100000)).alias("r_nwords"),
-        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_meanlen"),
-        (alpha_frac > 0.8).alias("r_alpha"),
-        (bullet_frac < 0.9).alias("r_bullet"),
-        (ellipsis_frac < 0.3).alias("r_ellipsis"),
-        (symbol_ratio < 0.1).alias("r_symbol"),
-        (stop_hits >= 2).alias("r_stop"),
-    )
-    return flags.withColumn(
-        "keep",
-        F.col("r_nwords")
-        & F.col("r_meanlen")
-        & F.col("r_alpha")
-        & F.col("r_bullet")
-        & F.col("r_ellipsis")
-        & F.col("r_symbol")
-        & F.col("r_stop"),
-    )
+    return [
+        ("r_nwords", (n_words >= 50) & (n_words <= 100000)),
+        ("r_meanlen", (mean_len >= 3.0) & (mean_len <= 10.0)),
+        ("r_alpha", alpha_frac > 0.8),
+        ("r_bullet", bullet_frac < 0.9),
+        ("r_ellipsis", ellipsis_frac < 0.3),
+        ("r_symbol", symbol_ratio < 0.1),
+        ("r_stop", stop_hits >= 2),
+    ]
 
 
 def build_gram_bloom(
@@ -432,51 +430,64 @@ def decontaminate_bloom(
     )
 
     def _check(batches):
-        import numpy as np
         import pandas as _pd
 
-        from ..functions.simhash import _hash_token_bytes
-
         arr = bc.value
-        mb = np.uint64(m_bits)
-        import re
-
-        # mirror words_array's JVM semantics exactly (the no-false-negative
-        # contract vs `decontaminate` needs byte-identical gram sets):
-        # trim strips SPACES only, split is Java \s = ASCII whitespace,
-        # and Java split drops trailing (not leading) empty tokens
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in batches:
-            flags = np.zeros(len(pdf), dtype=np.int32)
-            # factorize all grams across the batch so each DISTINCT gram
-            # hashes once (the simhash vectorization pattern)
-            per_doc: list[list[str]] = []
-            for t in pdf[text_col].fillna(""):
-                t2 = t.lower().strip(" ")
-                w = ws.split(t2) if t2 else []
-                while w and w[-1] == "":
-                    w.pop()
-                per_doc.append(
-                    [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
-                    if len(w) >= n
-                    else []
-                )
-            flat = [g for gs in per_doc for g in gs]
-            if flat:
-                codes, uniques = _pd.factorize(_pd.Series(flat, dtype=object))
-                enc = [u.encode("utf-8") for u in uniques]
-                member = np.ones(len(uniques), dtype=bool)
-                for seed in range(k_hashes):
-                    idx = _hash_token_bytes(enc, seed) % mb
-                    word = (idx >> np.uint64(6)).astype(np.int64)
-                    bit = np.uint64(1) << (idx & np.uint64(63))
-                    member &= (arr[word] & bit) != 0
-                hit = member[codes]
-                pos = 0
-                for di, gs in enumerate(per_doc):
-                    if gs:
-                        flags[di] = int(hit[pos : pos + len(gs)].any())
-                        pos += len(gs)
+            flags = bloom_contamination_flags(
+                pdf[text_col], arr, n, m_bits, k_hashes
+            )
             yield _pd.DataFrame({id_col: pdf[id_col], "contaminated": flags})
 
     return docs.select(id_col, text_col).mapInPandas(_check, out_schema)
+
+
+def bloom_contamination_flags(texts, arr, n: int, m_bits: int, k_hashes: int):
+    """int32 flag per text: 1 iff ANY word n-gram probes fully set in the
+    bloom bitarray `arr`. Shared by decontaminate_bloom and the streaming
+    admission gate so batch and stream flag identically.
+
+    Gram tokenization mirrors words_array's JVM semantics exactly (the
+    no-false-negative contract vs `decontaminate` needs byte-identical
+    gram sets): trim strips SPACES only, split is Java \\s = ASCII
+    whitespace, and Java split drops trailing (not leading) empty
+    tokens. Each DISTINCT gram in the batch hashes once (the simhash
+    factorize pattern)."""
+    import re
+
+    import numpy as np
+    import pandas as _pd
+
+    from ..functions.simhash import _hash_token_bytes
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    mb = np.uint64(m_bits)
+    flags = np.zeros(len(texts), dtype=np.int32)
+    per_doc: list[list[str]] = []
+    for t in _pd.Series(texts).fillna(""):
+        t2 = t.lower().strip(" ")
+        w = ws.split(t2) if t2 else []
+        while w and w[-1] == "":
+            w.pop()
+        per_doc.append(
+            [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+            if len(w) >= n
+            else []
+        )
+    flat = [g for gs in per_doc for g in gs]
+    if flat:
+        codes, uniques = _pd.factorize(_pd.Series(flat, dtype=object))
+        enc = [u.encode("utf-8") for u in uniques]
+        member = np.ones(len(uniques), dtype=bool)
+        for seed in range(k_hashes):
+            idx = _hash_token_bytes(enc, seed) % mb
+            word = (idx >> np.uint64(6)).astype(np.int64)
+            bit = np.uint64(1) << (idx & np.uint64(63))
+            member &= (arr[word] & bit) != 0
+        hit = member[codes]
+        pos = 0
+        for di, gs in enumerate(per_doc):
+            if gs:
+                flags[di] = int(hit[pos : pos + len(gs)].any())
+                pos += len(gs)
+    return flags

@@ -1,0 +1,92 @@
+"""Structured Streaming: curation-on-ingest admission gate.
+
+A production corpus is not curated once — pages arrive continuously, and
+the cheap gates should run AT INGEST so the committed corpus only ever
+holds admissible documents. This module applies two batch-identical
+round-4 gates to a stream of (url, text):
+
+  - the Gopher/C4 structural rule battery (operators.corpus.gopher_rules
+    via gopher_rule_columns — pure Column algebra, so it runs unchanged
+    and stateless on a streaming DataFrame), and
+  - Bloom-filter benchmark decontamination (the decontaminate_bloom
+    bitarray, built ONCE from the static benchmark at plan time and
+    broadcast; probed by the shared bloom_contamination_flags helper
+    inside one mapInPandas pass — identical flags to the batch operator
+    by construction).
+
+Output: an append stream of (url, quality_ok, contaminated, admitted)
+with admitted = quality_ok AND NOT contaminated; filter on it or fan the
+rejects to a quarantine sink. Everything is stateless per micro-batch —
+no watermark, no stream-stream join, no aggregation state — so the gate
+adds zero state-store footprint in front of the (stateful) streaming
+near-dup stage (near_dup_stream.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.corpus import (
+    bloom_contamination_flags,
+    build_gram_bloom,
+    gopher_rule_columns,
+    word_gram_array,
+    words_array,
+)
+
+
+def streaming_admission(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 4,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """stream(url, text) -> append stream of (url, quality_ok,
+    contaminated, admitted). `benchmark` must be a STATIC DataFrame (the
+    held-out eval set); its gram bloom is built on the driver at plan
+    time, exactly as decontaminate_bloom does."""
+    spark = stream.sparkSession
+    bench_grams = [
+        r["g"]
+        for r in benchmark.select(
+            F.explode(word_gram_array(words_array(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+        .collect()
+    ]
+    bloom = build_gram_bloom(bench_grams, m_bits=m_bits, k_hashes=k_hashes)
+    bc = spark.sparkContext.broadcast(bloom)
+
+    quality = F.lit(True)
+    for _name, col in gopher_rule_columns(F.col(text_col)):
+        quality = quality & col
+    base = stream.select(
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
+        quality.alias("quality_ok"),
+    )
+
+    def _gate(batches):
+        import pandas as pd
+
+        arr = bc.value
+        for pdf in batches:
+            flags = bloom_contamination_flags(pdf["text"], arr, n, m_bits, k_hashes)
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "quality_ok": pdf["quality_ok"].astype(bool),
+                    "contaminated": flags.astype(bool),
+                }
+            )
+            out["admitted"] = out["quality_ok"] & ~out["contaminated"]
+            yield out
+
+    return base.mapInPandas(
+        _gate,
+        "url string, quality_ok boolean, contaminated boolean, admitted boolean",
+    )

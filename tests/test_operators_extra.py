@@ -610,3 +610,61 @@ def test_streaming_windowed_stats_drops_late_data(spark, tmp_path):
     assert len(rows) == 1, rows  # emitted exactly once, never re-opened
     assert rows[0]["n_docs"] == 2, "straggler 10:45 row must NOT count"
     assert rows[0]["n_bytes"] == 6  # 'aaaa' + 'bb'
+
+
+def test_streaming_admission_gate_matches_batch_operators(spark, tmp_path):
+    """Curation-on-ingest: the streaming gate must admit/reject exactly as
+    the batch gopher_rules + decontaminate_bloom operators do."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.corpus import (
+        decontaminate_bloom,
+        gopher_rules,
+    )
+    from mashing_pumpkins_spark.streaming.curation_stream import streaming_admission
+
+    stops = "the and of to is in that for with a"
+    good = (" ".join(f"word{i}" for i in range(60)) + " " + stops).strip()
+    contaminated = good + " alpha beta gamma delta epsilon zeta"
+    low_quality = "too short " + stops
+    bench_rows = [(100, "bench doc holding alpha beta gamma delta epsilon zeta", "s")]
+    benchmark = spark.createDataFrame(
+        bench_rows, "doc_id long, text string, source string"
+    )
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    pd.DataFrame(
+        {"url": ["ok", "dirty", "junk"], "text": [good, contaminated, low_quality]}
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("url string, text string").parquet(str(src))
+    out = streaming_admission(stream, benchmark, n=4, m_bits=1 << 20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admission_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r for r in spark.sql("select * from admission_test").collect()}
+    assert got["ok"]["admitted"] is True
+    assert got["dirty"]["contaminated"] is True and got["dirty"]["admitted"] is False
+    assert got["junk"]["quality_ok"] is False and got["junk"]["admitted"] is False
+
+    # batch parity: same flags from the batch operators on the same rows
+    batch = spark.createDataFrame(
+        [(1, good, "s"), (2, contaminated, "s"), (3, low_quality, "s")],
+        "doc_id long, text string, source string",
+    )
+    gq = {r["doc_id"]: r["keep"] for r in gopher_rules(batch).collect()}
+    bc = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(batch, benchmark, n=4, m_bits=1 << 20).collect()
+    }
+    assert gq == {1: True, 2: True, 3: False}
+    assert (bool(bc[1]), bool(bc[2]), bool(bc[3])) == (
+        got["ok"]["contaminated"],
+        got["dirty"]["contaminated"],
+        got["junk"]["contaminated"],
+    )
