@@ -1118,6 +1118,37 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(payloads).orderBy("url")
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level (domain-level) similarity matrix: per-source rolled-up
+    UN-TRUNCATED sketches (operators/rollup.py — the O11/O28 merge path),
+    then exact pairwise Jaccard between source shingle sets. The pairwise
+    stage is quadratic in SOURCES, not docs (20 sources -> 190 pairs at
+    any corpus size) — the shape a crawl uses to find mirrored domains.
+    Full SQL oracle: distinct 21-char shingles per source, pairwise
+    intersection over a self-join."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.functions.estimators import jaccard_similarity
+    from mashing_pumpkins_spark.operators.rollup import group_sketch_rollup
+
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    rolled = group_sketch_rollup(_docs(spark, sf_dir), cfg, "source").select(
+        F.col("group").alias("source"), F.col("sig")
+    )
+    a = rolled.select(F.col("source").alias("src_a"), F.col("sig").alias("sig_a"))
+    b = rolled.select(F.col("source").alias("src_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(jaccard_similarity(F.col("sig_a"), F.col("sig_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 structural rule battery: per-rule boolean + conjunctive
     keep per doc, all pure JVM Column algebra — full SQL value oracle."""
@@ -1244,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": q_png_decode_stats,
         "url_canonical": q_url_canonical,
         "gopher_rules": q_gopher_rules,
+        "source_similarity": q_source_similarity,
         "events_hourly": q_events_hourly,
     }
 
@@ -2065,6 +2097,27 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
             from events group by 1, 2 order by hour, event_type
+        """,
+        "source_similarity": """
+            with sh as (
+              select source, substr(hx, 2*i - 1, 42) as s
+              from (select source, hex(encode(text)) as hx,
+                           unnest(generate_series(1, octet_length(encode(text)) - 20)) as i
+                    from documents where octet_length(encode(text)) >= 21)
+            ),
+            dsh as (select distinct source, s from sh),
+            ds as (select source, count(*) as n from dsh group by 1),
+            inter as (
+              select a.source as src_a, b.source as src_b, count(*) as i
+              from dsh a join dsh b on a.s = b.s and a.source < b.source
+              group by 1, 2
+            )
+            select x.source as src_a, y.source as src_b,
+                   round(coalesce(i, 0)::double
+                         / (x.n + y.n - coalesce(i, 0)), 6) as jaccard
+            from ds x join ds y on x.source < y.source
+            left join inter on inter.src_a = x.source and inter.src_b = y.source
+            order by src_a, src_b
         """,
         "gopher_rules": r"""
             with w as (

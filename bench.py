@@ -276,6 +276,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "png_decode_stats",
         "url_canonical",
         "gopher_rules",
+        "source_similarity",
     ]
     for name in bench_queries:
         if name is None or name not in queries:
