@@ -527,8 +527,11 @@ def run_scaling() -> dict:
         "local[32]/16 input partitions, where the same sketch stage measures "
         "13.7-38.4 MB/s across host states (round-3/4 runs; spread is the "
         "burst-credit swing) — 1.5-4.1x the reference's 9.43 MB/s headline — "
-        "and the 100k-page pipeline best-of-2 is 26.6-34.5 s "
-        "(2,900-3,766 docs/s) on a fresh host. The pipeline job and sketch "
+        "and the 100k-page pipeline best-of-2 is 26.6-36.4 s "
+        "(2,750-3,766 docs/s) on a fresh host; the best full round-4 run "
+        "(probe 14.4/58.3 MB/s, stable throughout) measured the sketch "
+        "stage at 43.0 MB/s — 4.6x the reference headline — with "
+        "simhash_pairs at 4.1 s (the round-3 regression was 8.5 s). The pipeline job and sketch "
         "stage both report best-of-2 after a measured ~2x first-run warm-up "
         "(python-worker spawn + JIT + page cache: 76.7 s cold vs 37.0 s "
         "warm, same session minutes apart). Round-4 caution: a FULL 52-query "
