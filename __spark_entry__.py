@@ -1118,6 +1118,38 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(payloads).orderBy("url")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (Dolma-style masking — a text TRANSFORM, not a
+    filter): each doc gets deterministic PII planted (email, IPv4, phone —
+    driven by doc_id arithmetic), then redact_pii masks every span with a
+    typed token, all pure JVM regexp (RE2-compatible patterns, no
+    lookaround). The oracle replays count -> mask -> count on the same
+    augmented text and value-checks the masked text per row via md5 — a
+    full oracle over the rewrite itself, not just the counts."""
+    from mashing_pumpkins_spark.functions.textstats import pii_counts, redact_pii
+
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.org, backup 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".77 tel +4915123"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return (
+        docs.select(
+            "doc_id",
+            *[c.alias(f"n_{kind}") for kind, c in counts],
+            F.md5(F.encode(redact_pii(F.col("t")), "utf-8")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level (domain-level) similarity matrix: per-source rolled-up
     UN-TRUNCATED sketches (operators/rollup.py — the O11/O28 merge path),
@@ -1276,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "gopher_rules": q_gopher_rules,
         "source_similarity": q_source_similarity,
+        "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
     }
 
@@ -2097,6 +2130,41 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
             from events group by 1, 2 order by hour, event_type
+        """,
+        "pii_scrub": r"""
+            with aug as (
+              select doc_id,
+                     text || ' contact user' || doc_id
+                     || '@mail.example.org, backup 10.0.' || (doc_id % 256)
+                     || '.77 tel +4915123'
+                     || lpad((doc_id % 1000)::varchar, 3, '0') as t
+              from documents
+            ),
+            s1 as (
+              select doc_id,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') as t1
+              from aug
+            ),
+            s2 as (
+              select doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) as n_ipv4,
+                     regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b',
+                       '<IP>', 'g') as t2
+              from s1
+            ),
+            s3 as (
+              select doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t2, '\+\d{7,15}')) as n_phone,
+                     regexp_replace(t2, '\+\d{7,15}', '<PHONE>', 'g') as t3
+              from s2
+            )
+            select doc_id, n_email, n_ipv4, n_phone, md5(t3) as redacted_md5
+            from s3 order by doc_id
         """,
         "source_similarity": """
             with sh as (

@@ -277,6 +277,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "url_canonical",
         "gopher_rules",
         "source_similarity",
+        "pii_scrub",
     ]
     for name in bench_queries:
         if name is None or name not in queries:

@@ -93,3 +93,39 @@ def doc_fingerprint(text: Column) -> Column:
     DuckDB, so the oracle can replay it — unlike our xxh64 kernels)."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.md5(F.encode(normalized, "utf-8"))
+
+
+# PII redaction (Dolma-style masking) — conservative RE2-compatible
+# patterns (no lookaround) so Spark's Java regex and the DuckDB oracle's
+# RE2 match the SAME spans; each is replaced by a typed mask token.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> list[tuple[str, Column]]:
+    """(kind, count Column) per PII pattern — how many spans redaction
+    would mask. Counting runs BEFORE masking; order in PII_PATTERNS is
+    the masking order, so an email's host part is never double-counted
+    as an IP (masking replaces it first)."""
+    cols = []
+    masked = text
+    for kind, pat, token in PII_PATTERNS:
+        cols.append(
+            (kind, F.size(F.regexp_extract_all(masked, F.lit(pat), F.lit(0))))
+        )
+        masked = F.regexp_replace(masked, pat, token)
+    return cols
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with every PII span replaced by its typed mask token, applied
+    in PII_PATTERNS order. Pure JVM regexp_replace — no UDF, runs at scan
+    speed, SQL-replayable (the `pii_scrub` driver query value-checks the
+    masked text per row via md5)."""
+    masked = text
+    for _kind, pat, token in PII_PATTERNS:
+        masked = F.regexp_replace(masked, pat, token)
+    return masked

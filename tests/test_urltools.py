@@ -64,3 +64,33 @@ def test_canonical_collapses_same_resource_variants(spark):
         "http://site.com/page?utm_source=mail#top",
     ]
     assert len(set(_canon(spark, variants))) == 1
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    from mashing_pumpkins_spark.functions.textstats import pii_counts, redact_pii
+
+    rows = [
+        (1, "reach me at jane.doe+spam@sub.example.co.uk or +4917612345678"),
+        (2, "server 192.168.1.200 and 10.0.0.1 are internal"),
+        (3, "no pii here at all"),
+        # the email's host contains dots but must NOT be double-counted as
+        # an IP: email masking runs first
+        (4, "mail a@1.2.3.4x.com plus real ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[c.alias(f"n_{k}") for k, c in counts],
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["red"] and "<PHONE>" in out[1]["red"]
+    assert "jane" not in out[1]["red"] and "4917612345678" not in out[1]["red"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["red"].count("<IP>") == 2
+    assert out[3]["red"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[4]["n_email"] == 1 and out[4]["n_ipv4"] == 1
