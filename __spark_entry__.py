@@ -937,19 +937,31 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_tok", F.lit(0.95)).alias("_hi90"),
         F.percentile("n_tok", F.lit(0.94)).alias("_lo99"),
         F.max("n_tok").alias("_hi99"),
+        F.min("n_tok").alias("_min"),
+        F.count("*").alias("_n"),
         F.approx_percentile("n_tok", F.lit(0.5), F.lit(10000)).alias("_a50"),
         F.approx_percentile("n_tok", F.lit(0.9), F.lit(10000)).alias("_a90"),
         F.approx_percentile("n_tok", F.lit(0.99), F.lit(10000)).alias("_a99"),
     )
+
+    def _ok(a: str, lo: str, hi: str) -> "F.Column":
+        # the +/-0.05 interpolated band only brackets a returned DATA value
+        # when 0.05 * n >= 1 rank; for smaller groups the sound guaranteed
+        # bound is [min, max] (round-4 review: a 2-row group legitimately
+        # fails the narrow band)
+        return F.when(
+            F.col("_n") >= 20, F.col(a).between(F.col(lo), F.col(hi))
+        ).otherwise(F.col(a).between(F.col("_min"), F.col("_hi99")))
+
     return (
         agg.select(
             "lang",
             "p50",
             "p90",
             "p99",
-            F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_approx_ok"),
-            F.col("_a90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_approx_ok"),
-            F.col("_a99").between(F.col("_lo99"), F.col("_hi99")).alias("p99_approx_ok"),
+            _ok("_a50", "_lo50", "_hi50").alias("p50_approx_ok"),
+            _ok("_a90", "_lo90", "_hi90").alias("p90_approx_ok"),
+            _ok("_a99", "_lo99", "_hi99").alias("p99_approx_ok"),
         )
         .orderBy("lang")
     )

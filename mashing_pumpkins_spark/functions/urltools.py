@@ -37,7 +37,10 @@ _TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def _authority(rest: Column) -> Column:
-    return F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    # stop at '#' too: host_of receives un-defragmented input, and a
+    # fragment directly after the authority ('http://a.com#top') must not
+    # leak into the host (round-4 review fix)
+    return F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
 
 
 def canonicalize_url(url: Column) -> Column:

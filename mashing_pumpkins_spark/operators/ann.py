@@ -440,9 +440,11 @@ def embedding_near_dup_pairs_lsh(
     vectors are dropped from candidate generation (a bucket of b vectors
     contributes C(b,2) pairs; at web scale a degenerate bucket, e.g. the
     all-zeros sign pattern of zero vectors, would dominate the join). The
-    cap is one window count over the bucket shuffle — no extra agg+join.
+    cap is a map-side-combined groupBy whose tiny surviving-bucket set
+    broadcasts back — never a window over the bucket key, which would
+    funnel the mega-bucket into one task before filtering.
 
-    The bucket table feeds both self-join sides (plus the cap window), so
+    The bucket table feeds the cap aggregate and both self-join sides, so
     by default it is persisted — the round-4 plan audit caught Catalyst
     re-running the bucketing UDF once per consumer (4x at scale with the
     cap on). CACHE CONTRACT (same as simhash_near_pairs): blocks live
@@ -475,17 +477,22 @@ def embedding_near_dup_pairs_lsh(
     buckets = vectors.select(
         F.col(id_col).alias("id"), F.explode(bucket_udf(F.col(vec_col))).alias("bucket")
     )
-    if bucket_cap is not None:
-        w = Window.partitionBy("bucket")
-        buckets = (
-            buckets.withColumn("_n", F.count("*").over(w))
-            .where(F.col("_n") <= bucket_cap)
-            .drop("_n")
-        )
     if persist:
         from pyspark.storagelevel import StorageLevel
 
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    if bucket_cap is not None:
+        # groupBy + broadcast semi-join, NOT a window: a window partitioned
+        # by bucket would shuffle the degenerate mega-bucket's rows into
+        # ONE task before filtering — the exact hotspot the cap guards
+        # against. The groupBy's map-side partial aggregation collapses
+        # each partition to one row per distinct bucket before any
+        # exchange, and the surviving-bucket set (tiny) broadcasts.
+        sizes = buckets.groupBy("bucket").agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            F.broadcast(sizes.where(F.col("_n") <= bucket_cap).select("bucket")),
+            "bucket",
+        )
     a = buckets.select("bucket", F.col("id").alias("id_a"))
     b = buckets.select("bucket", F.col("id").alias("id_b"))
     cand = (

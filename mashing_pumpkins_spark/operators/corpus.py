@@ -382,6 +382,30 @@ def build_gram_bloom(
     return arr
 
 
+
+def bench_gram_bloom(
+    benchmark: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 4,
+    text_col: str = "text",
+):
+    """Bloom bitarray over a benchmark's distinct word n-grams — the
+    blocklist build shared by decontaminate_bloom and the streaming
+    admission gate (one definition, one tokenization, one hash family).
+    The distinct-gram collect is a one-off driver job; the returned array
+    is the caller's to broadcast (and to reuse across corpora/streams)."""
+    grams = [
+        r["g"]
+        for r in benchmark.select(
+            F.explode(word_gram_array(words_array(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+        .collect()
+    ]
+    return build_gram_bloom(grams, m_bits=m_bits, k_hashes=k_hashes)
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -408,17 +432,9 @@ def decontaminate_bloom(
     the training side is ONE mapInPandas over (id, text) — no gram
     explode, no shuffle at all, grams are generated and probed in numpy
     inside the Arrow batch."""
-    spark = docs.sparkSession
-    bench_grams = [
-        r["g"]
-        for r in benchmark.select(
-            F.explode(word_gram_array(words_array(F.col(text_col)), n)).alias("g")
-        )
-        .distinct()
-        .collect()
-    ]
-    bloom = build_gram_bloom(bench_grams, m_bits=m_bits, k_hashes=k_hashes)
-    bc = spark.sparkContext.broadcast(bloom)
+    bc = docs.sparkSession.sparkContext.broadcast(
+        bench_gram_bloom(benchmark, n, m_bits, k_hashes, text_col)
+    )
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -450,9 +466,11 @@ def bloom_contamination_flags(texts, arr, n: int, m_bits: int, k_hashes: int):
     Gram tokenization mirrors words_array's JVM semantics exactly (the
     no-false-negative contract vs `decontaminate` needs byte-identical
     gram sets): trim strips SPACES only, split is Java \\s = ASCII
-    whitespace, and Java split drops trailing (not leading) empty
-    tokens. Each DISTINCT gram in the batch hashes once (the simhash
-    factorize pattern)."""
+    whitespace, and — because Spark's F.split uses limit=-1 — trailing
+    empty tokens are KEPT, exactly as re.split keeps them (round-4 review
+    fix: popping them made grams on '\\n'-terminated docs diverge and
+    produced false negatives). Each DISTINCT gram in the batch hashes
+    once (the simhash factorize pattern)."""
     import re
 
     import numpy as np
@@ -467,8 +485,6 @@ def bloom_contamination_flags(texts, arr, n: int, m_bits: int, k_hashes: int):
     for t in _pd.Series(texts).fillna(""):
         t2 = t.lower().strip(" ")
         w = ws.split(t2) if t2 else []
-        while w and w[-1] == "":
-            w.pop()
         per_doc.append(
             [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
             if len(w) >= n

@@ -139,11 +139,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG without a valid PLTE")
     bpp = channels * (depth // 8)
     stride = width * bpp
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: the exact pixel-data size is known from IHDR, so
+        # a decompression bomb (tiny IDAT inflating to GBs) is cut off at
+        # expected+1 bytes and rejected as ValueError instead of exhausting
+        # executor memory and escaping the operators' null-row contract
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"bad PNG DEFLATE stream: {exc}") from exc
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG pixel data has wrong length")
     recon = np.empty((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)

@@ -28,11 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.corpus import (
+    bench_gram_bloom,
     bloom_contamination_flags,
-    build_gram_bloom,
     gopher_rule_columns,
-    word_gram_array,
-    words_array,
 )
 
 
@@ -49,17 +47,9 @@ def streaming_admission(
     contaminated, admitted). `benchmark` must be a STATIC DataFrame (the
     held-out eval set); its gram bloom is built on the driver at plan
     time, exactly as decontaminate_bloom does."""
-    spark = stream.sparkSession
-    bench_grams = [
-        r["g"]
-        for r in benchmark.select(
-            F.explode(word_gram_array(words_array(F.col(text_col)), n)).alias("g")
-        )
-        .distinct()
-        .collect()
-    ]
-    bloom = build_gram_bloom(bench_grams, m_bits=m_bits, k_hashes=k_hashes)
-    bc = spark.sparkContext.broadcast(bloom)
+    bc = stream.sparkSession.sparkContext.broadcast(
+        bench_gram_bloom(benchmark, n, m_bits, k_hashes, text_col)
+    )
 
     quality = F.lit(True)
     for _name, col in gopher_rule_columns(F.col(text_col)):

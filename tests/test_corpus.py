@@ -334,3 +334,28 @@ def test_build_gram_bloom_validation():
         build_gram_bloom(["x"], m_bits=100)  # not a power of two
     arr = build_gram_bloom([], m_bits=1 << 10)
     assert arr.sum() == 0 and arr.dtype == np.uint64
+
+
+def test_decontaminate_bloom_trailing_newline_docs_no_false_negative(spark):
+    """Round-4 review regression: Spark's split(limit=-1) KEEPS trailing
+    empty tokens, so '\n'-terminated docs produce grams whose last word is
+    '' — the bloom tokenizer must produce the identical gram or it
+    false-negatives (web docs routinely end with a newline)."""
+    from mashing_pumpkins_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rows = [(1, "xx beta gamma delta\n", "s"), (2, "clean words only here", "s")]
+    bench = [(100, "qq beta gamma delta\n", "s")]
+    docs, benchmark = _docs(spark, rows), _docs(spark, bench)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, benchmark, n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_bloom(docs, benchmark, n=4, m_bits=1 << 20).collect()
+    }
+    assert exact[1] == 1, "JVM sides must share the trailing-empty gram"
+    assert bloom == exact

@@ -53,8 +53,16 @@ def test_host_of(spark):
         "HTTP://WWW.Example.COM:8080/x",
         "https://a.b.c:443/",
         "relative/no/scheme",
+        "http://Example.com#top",  # fragment right after authority
+        "http://a.com:8080#f",  # ...and with a port to strip after it
     ]
-    assert _hosts(spark, urls) == ["www.example.com", "a.b.c", ""]
+    assert _hosts(spark, urls) == [
+        "www.example.com",
+        "a.b.c",
+        "",
+        "example.com",
+        "a.com",
+    ]
 
 
 def test_canonical_collapses_same_resource_variants(spark):
