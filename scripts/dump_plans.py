@@ -144,14 +144,17 @@ def main() -> None:
         (
             "embedding threshold-pair LSH (production 8x16 index)",
             emb_lsh,
-            "Check: the bucket table (ArrowEvalPython + explode + window "
-            "cap) is persisted and shows as InMemoryTableScan at every "
-            "consumer — the bucketing UDF runs ONCE (the first dump of "
-            "this plan caught Catalyst re-running it 4x, once per "
-            "consumer; round-4 fix). Candidates travel ids-only through "
-            "the bucket equi-self-join + distinct; vectors re-attach via "
-            "two equi-joins; exact cosine is one mapInPandas einsum; "
-            "bucket_cap is one window count over the bucket shuffle; no "
+            "Check: the bucket table (ArrowEvalPython + explode) is "
+            "persisted and shows as InMemoryTableScan at every consumer — "
+            "the bucketing UDF runs ONCE (the first dump of this plan "
+            "caught Catalyst re-running it 4x, once per consumer; round-4 "
+            "fix). bucket_cap is a map-side-combined HashAggregate whose "
+            "tiny surviving-bucket set comes back as a BroadcastHashJoin "
+            "— deliberately NOT a window over the bucket key, which would "
+            "funnel a degenerate mega-bucket into one task (round-4 "
+            "review fix). Candidates travel ids-only through the bucket "
+            "equi-self-join + distinct; vectors re-attach via two "
+            "equi-joins; exact cosine is one mapInPandas einsum; no "
             "cartesian anywhere.",
         ),
         (
