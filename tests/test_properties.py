@@ -171,3 +171,73 @@ def test_chunk_spans_cover_property(nsize, lseq, extra):
         assert end - beg <= w
         windows.extend(range(beg, end - nsize + 1))
     assert windows == list(range(max(0, lseq - nsize + 1)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 10**6),
+)
+def test_png_encode_decode_roundtrip_property(h, w, channels, ftype, seed):
+    """encode_png -> decode_png is the identity for every shape, channel
+    count and filter type (hypothesis over the whole parameter space)."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_image(encode_png(img, filter_type=ftype))
+    assert out.shape == ((h, w) if channels == 1 else (h, w, channels))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    grams=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=300),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.integers(1, 6),
+)
+def test_gram_bloom_never_false_negative_property(grams, k):
+    """Every gram inserted into the bloom must probe as a member — the
+    no-false-negative guarantee holds for arbitrary unicode grams and any
+    probe count (membership via the same helper the operators use)."""
+    import numpy as np
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.corpus import (
+        bloom_contamination_flags,
+        build_gram_bloom,
+    )
+
+    # mirror the real build path: bench grams come out of words_array
+    # LOWERCASED, so the filter is built from (and probed with) lowercase
+    grams = sorted({g.lower() for g in grams})
+    m_bits = 1 << 12
+    arr = build_gram_bloom(grams, m_bits=m_bits, k_hashes=k)
+    if not grams:
+        assert arr.sum() == 0
+        return
+    # a "doc" that IS the gram (n=1 word grams) must always flag
+    texts = pd.Series(grams)
+    flags = bloom_contamination_flags(texts, arr, 1, m_bits, k)
+    # tokenization may split a gram containing whitespace-class chars into
+    # several words; restrict the assertion to single-token grams
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for g, f in zip(grams, flags):
+        if len(ws.split(g.lower().strip(" "))) == 1 and g.lower().strip(" "):
+            assert f == 1, repr(g)
