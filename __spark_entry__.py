@@ -437,6 +437,37 @@ def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.orderBy("url")
 
 
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion audit of the flagship pipeline's output: per
+    cluster, member count + min/mean member-vs-hub Jaccard (un-truncated
+    sketches, so the values are EXACT shingle Jaccard and transitive
+    chaining below the verify threshold is visible). Oracle: the
+    pipeline_clusters recursive-CTE closure extended with per-member hub
+    Jaccard from the all-pairs shingle CTE."""
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.operators.cluster_report import (
+        cluster_quality_report,
+    )
+    from mashing_pumpkins_spark.operators.signature import with_signature
+    from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"),
+        F.col("text"),
+    )
+    clusters, _ = run_pipeline(
+        spark, pages, cfg, tempfile.mkdtemp(prefix="mp_spark_cq_")
+    )
+    sigs = with_signature(pages, cfg.sketch, "text").select("url", "sig")
+    return cluster_quality_report(clusters, sigs)
+
+
 def q_pipeline_clusters_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME near-dup pipeline as pipeline_clusters but through the
     checkpoint-free flow variant (one chained Catalyst plan, persists at
@@ -1287,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "pipeline_clusters": q_pipeline_clusters,
         "pipeline_clusters_flow": q_pipeline_clusters_flow,
+        "cluster_quality": q_cluster_quality,
         "stop_grams": q_stop_grams,
         "vocab_stats": q_vocab_stats,
         "source_sketch_rollup": q_source_sketch_rollup,
@@ -1611,6 +1643,37 @@ def oracle_sql() -> dict[str, str]:
         select lpad(id::varchar, 8, '0') as url,
                lpad(cid::varchar, 8, '0') as cluster_id
         from labels order by url
+        """,
+        # cluster-cohesion audit: the same recursive closure, extended with
+        # per-member hub Jaccard pulled from the all-pairs shingle CTE
+        # (pairs absent from jac share no shingle -> Jaccard 0)
+        "cluster_quality": _SHINGLES_CTE
+        + """,
+        edges as (select id_a, id_b from jac where jaccard >= 0.8),
+        sym as (select id_a u, id_b v from edges union select id_b, id_a from edges),
+        closure as (
+          with recursive walk(u, v) as (
+            select u, v from sym
+            union
+            select w.u, s.v from walk w join sym s on w.v = s.u where w.u != s.v
+          ) select * from walk
+        ),
+        labels as (
+          select u as id, least(u, min(v)) as cid from closure group by u
+        ),
+        hj as (
+          select l.cid, l.id,
+                 case when l.id = l.cid then 1.0
+                      else coalesce(j.jaccard, 0.0) end as hjacc
+          from labels l
+          left join jac j on j.id_a = least(l.id, l.cid)
+                         and j.id_b = greatest(l.id, l.cid)
+        )
+        select lpad(cid::varchar, 8, '0') as cluster_id,
+               count(*)::bigint as n_members,
+               round(min(hjacc), 6) as min_hub_jaccard,
+               round(avg(hjacc), 6) as avg_hub_jaccard
+        from hj group by cid order by cluster_id
         """,
         # flow variant: same operators/config as pipeline_clusters -> the
         # same recursive-closure oracle verbatim

@@ -225,6 +225,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "minhash_signature",
         "pipeline_clusters",
         "pipeline_clusters_flow",
+        "cluster_quality",
         "simhash_pairs",
         "substring_dup_pairs",
         "substring_dup_spans",

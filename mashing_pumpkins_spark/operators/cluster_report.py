@@ -1,0 +1,64 @@
+"""Cluster-quality audit — the report a dedup run checks BEFORE dropping
+cluster members.
+
+Connected components over LSH-verified edges can chain documents together
+transitively (A~B~C admits A-C pairs below the pairwise threshold), so a
+production run audits each cluster's cohesion against its representative
+before deleting anything: per cluster, the member count and the min/mean
+sketch Jaccard of every member against the hub (the cluster id, by
+construction the minimum member). A cluster whose min_hub_jaccard is far
+below the verify threshold is a chaining artifact to review, not a safe
+drop.
+
+Scale shape: two equi-joins (member -> its signature; cluster id -> the
+hub's signature — one row per cluster, broadcastable) and one groupBy per
+cluster id; the Jaccard runs as the same JVM Column expression the
+estimator suite uses. No shuffle carries text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.estimators import jaccard_similarity
+
+
+def cluster_quality_report(
+    clusters: DataFrame,
+    signatures: DataFrame,
+    url_col: str = "url",
+    cluster_col: str = "cluster_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(cluster_id, n_members, min_hub_jaccard, avg_hub_jaccard) per
+    cluster. `clusters` is run_pipeline's output (members INCLUDING the
+    hub row url == cluster_id); `signatures` maps url -> sketch array
+    (use an un-truncated config for exact values, the production k for
+    estimates). The hub's own row contributes Jaccard 1.0."""
+    members = clusters.join(
+        signatures.select(F.col(url_col), F.col(sig_col).alias("_ms")), url_col
+    )
+    hubs = signatures.select(
+        F.col(url_col).alias(cluster_col), F.col(sig_col).alias("_hs")
+    )
+    joined = members.join(F.broadcast(hubs), cluster_col)
+    # per-member values rounded to 6 BEFORE aggregation: the report's
+    # stated precision, and it makes the aggregate replayable bit-for-bit
+    # by an engine that rounds pair Jaccards the same way
+    hub_jacc = F.round(
+        F.when(F.col(url_col) == F.col(cluster_col), F.lit(1.0)).otherwise(
+            jaccard_similarity(F.col("_ms"), F.col("_hs"))
+        ),
+        6,
+    )
+    return (
+        joined.select(F.col(cluster_col), hub_jacc.alias("_hj"))
+        .groupBy(cluster_col)
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.min("_hj"), 6).alias("min_hub_jaccard"),
+            F.round(F.avg("_hj"), 6).alias("avg_hub_jaccard"),
+        )
+        .orderBy(cluster_col)
+    )

@@ -287,3 +287,34 @@ def test_iceberg_store_requires_configured_catalog(spark):
 
     with pytest.raises(RuntimeError, match="spark.sql.catalog.lake"):
         IcebergCheckpointStore(spark, "lake.run1", "cafebabe")
+
+
+def test_cluster_quality_report_flags_transitive_chaining(spark):
+    """A chained cluster A~B~C (A-B and B-C near-dup, A-C not) must show
+    min_hub_jaccard well below the pairwise threshold — the audit signal
+    that the cluster is a chaining artifact, not a uniform dup group."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.cluster_report import (
+        cluster_quality_report,
+    )
+    from mashing_pumpkins_spark.operators.signature import with_signature
+
+    words = [f"tok{i}" for i in range(300)]
+    a = " ".join(words[0:200])            # hub (min url)
+    b = " ".join(words[50:250])           # overlaps both
+    c = " ".join(words[100:300])          # far from a
+    docs = spark.createDataFrame(
+        [("00a", a), ("00b", b), ("00c", c)], "url string, text string"
+    )
+    clusters = spark.createDataFrame(
+        [("00a", "00a"), ("00b", "00a"), ("00c", "00a")],
+        "url string, cluster_id string",
+    )
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    sigs = with_signature(docs, cfg, "text").select("url", "sig")
+    rep = cluster_quality_report(clusters, sigs).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["cluster_id"] == "00a" and r["n_members"] == 3
+    # hub vs itself contributes 1.0; b overlaps a substantially; c little
+    assert r["min_hub_jaccard"] < 0.5 < r["avg_hub_jaccard"] <= 1.0
