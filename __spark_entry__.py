@@ -2234,8 +2234,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             s3 as (
               select doc_id, n_email, n_ipv4,
-                     len(regexp_extract_all(t2, '\+\d{7,15}')) as n_phone,
-                     regexp_replace(t2, '\+\d{7,15}', '<PHONE>', 'g') as t3
+                     len(regexp_extract_all(t2,
+                       '\+\d{1,3}([-. ()]{0,2}\d{2,4}){2,5}')) as n_phone,
+                     regexp_replace(t2, '\+\d{1,3}([-. ()]{0,2}\d{2,4}){2,5}',
+                       '<PHONE>', 'g') as t3
               from s2
             )
             select doc_id, n_email, n_ipv4, n_phone, md5(t3) as redacted_md5

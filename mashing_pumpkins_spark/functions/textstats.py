@@ -98,10 +98,25 @@ def doc_fingerprint(text: Column) -> Column:
 # PII redaction (Dolma-style masking) — conservative RE2-compatible
 # patterns (no lookaround) so Spark's Java regex and the DuckDB oracle's
 # RE2 match the SAME spans; each is replaced by a typed mask token.
+#
+# Scope (deliberate, oracle-replayable tradeoffs; where the pattern is
+# imprecise it errs toward OVER-masking — under-masking is the unsafe
+# direction for a redaction feature):
+#   email  practical RFC-lite form; exotic quoted local parts not matched.
+#   ipv4   \d{1,3} octets accept invalid values (999.1.1.1 masks as <IP>)
+#          — over-masking-safe, and validating octets needs alternation
+#          bloat for no redaction benefit.
+#   phone  international-prefix ('+') numbers ONLY, now separator-tolerant:
+#          "+49 151 2345678", "+1 (415) 555-0100", "+44-20-7946-0958" all
+#          mask. Bare national numbers ("(415) 555-0100") and 00-prefix
+#          forms are deliberately OUT of scope: without lookaround they
+#          are indistinguishable from ids/dates/prices at acceptable
+#          false-positive rates. A '+'-leading date like "+2026-08-17"
+#          does mask (over-masking-safe).
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+\d{7,15}", "<PHONE>"),
+    ("phone", r"\+\d{1,3}([-. ()]{0,2}\d{2,4}){2,5}", "<PHONE>"),
 ]
 
 

@@ -39,17 +39,26 @@ def cluster_quality_report(
     members = clusters.join(
         signatures.select(F.col(url_col), F.col(sig_col).alias("_ms")), url_col
     )
-    hubs = signatures.select(
-        F.col(url_col).alias(cluster_col), F.col(sig_col).alias("_hs")
+    # Restrict to ACTUAL hub rows before broadcasting: signatures holds one
+    # row per document, so broadcasting it whole would ship every sketch in
+    # the corpus to every executor. A leftsemi join against the distinct
+    # cluster ids keeps one row per cluster — that set is what the
+    # broadcast-size reasoning in the module docstring is about.
+    hub_ids = clusters.select(F.col(cluster_col).alias(url_col)).distinct()
+    hubs = (
+        signatures.join(hub_ids, url_col, "leftsemi")
+        .select(F.col(url_col).alias(cluster_col), F.col(sig_col).alias("_hs"))
     )
-    joined = members.join(F.broadcast(hubs), cluster_col)
+    # LEFT join: a cluster whose hub url is missing from `signatures` must
+    # surface (null hub Jaccard) rather than vanish from the audit.
+    joined = members.join(F.broadcast(hubs), cluster_col, "left")
     # per-member values rounded to 6 BEFORE aggregation: the report's
     # stated precision, and it makes the aggregate replayable bit-for-bit
     # by an engine that rounds pair Jaccards the same way
     hub_jacc = F.round(
-        F.when(F.col(url_col) == F.col(cluster_col), F.lit(1.0)).otherwise(
-            jaccard_similarity(F.col("_ms"), F.col("_hs"))
-        ),
+        F.when(F.col(url_col) == F.col(cluster_col), F.lit(1.0))
+        .when(F.col("_hs").isNull(), F.lit(None).cast("double"))
+        .otherwise(jaccard_similarity(F.col("_ms"), F.col("_hs"))),
         6,
     )
     return (

@@ -282,11 +282,18 @@ def gopher_rules(
     exact ANSI-SQL replayable; thresholds are the published ones):
       r_nwords   50 <= word count <= 100000
       r_meanlen  3 <= mean word length <= 10
-      r_alpha    > 80% of words contain an alphabetic character
+      r_alpha    > 80% of words contain an ASCII [a-z] character
       r_bullet   < 90% of lines start with a bullet (-, *, •)
       r_ellipsis < 30% of lines end with an ellipsis
       r_symbol   (# + ellipsis occurrences) / words < 0.1
-      r_stop     contains >= 2 distinct common stopwords
+      r_stop     contains >= 2 distinct common ENGLISH stopwords
+
+    ENGLISH-ONLY battery (as in Gopher itself, whose rules were tuned on
+    English MassiveWeb): r_alpha tests ASCII letters and r_stop uses an
+    English stoplist, so non-Latin-script documents fail both. Run it
+    DOWNSTREAM of lang_id on the English partition; for a
+    language-neutral gate, swap r_alpha's class for \\p{L} and supply a
+    per-language stoplist (both keep the no-shuffle shape).
 
     Scale: one projection, no shuffle at all — the filter runs at scan
     speed and the per-rule aggregation (if wanted) is one groupBy over

@@ -318,3 +318,33 @@ def test_cluster_quality_report_flags_transitive_chaining(spark):
     assert r["cluster_id"] == "00a" and r["n_members"] == 3
     # hub vs itself contributes 1.0; b overlaps a substantially; c little
     assert r["min_hub_jaccard"] < 0.5 < r["avg_hub_jaccard"] <= 1.0
+
+
+def test_cluster_quality_report_missing_hub_surfaces_not_drops(spark):
+    """A cluster whose hub url is absent from `signatures` must still
+    appear in the audit (with null hub Jaccards), not silently vanish —
+    and the hub side must only broadcast actual hub rows."""
+    from mashing_pumpkins_spark.config import SketchConfig
+    from mashing_pumpkins_spark.operators.cluster_report import (
+        cluster_quality_report,
+    )
+    from mashing_pumpkins_spark.operators.signature import with_signature
+
+    words = [f"tok{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [("00b", " ".join(words)), ("00c", " ".join(words[0:150]))],
+        "url string, text string",
+    )
+    # hub 00a has NO signature row (e.g. dropped upstream)
+    clusters = spark.createDataFrame(
+        [("00a", "00a"), ("00b", "00a"), ("00c", "00a")],
+        "url string, cluster_id string",
+    )
+    cfg = SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0)
+    sigs = with_signature(docs, cfg, "text").select("url", "sig")
+    rep = cluster_quality_report(clusters, sigs).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # 00a's own member row has no signature either -> 2 auditable members
+    assert r["cluster_id"] == "00a" and r["n_members"] == 2
+    assert r["min_hub_jaccard"] is None and r["avg_hub_jaccard"] is None

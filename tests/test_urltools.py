@@ -84,6 +84,10 @@ def test_pii_redaction_masks_and_counts(spark):
         # the email's host contains dots but must NOT be double-counted as
         # an IP: email masking runs first
         (4, "mail a@1.2.3.4x.com plus real ip 8.8.8.8"),
+        # separator-tolerant international forms all mask; bare national
+        # numbers (no '+') are documented out of scope
+        (5, "call +1 (415) 555-0100 or +44-20-7946-0958 today"),
+        (6, "office +49 151 2345678, fax (415) 555-0100"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     counts = pii_counts(F.col("t"))
@@ -102,3 +106,8 @@ def test_pii_redaction_masks_and_counts(spark):
     assert out[3]["red"] == "no pii here at all"
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
     assert out[4]["n_email"] == 1 and out[4]["n_ipv4"] == 1
+    assert out[5]["n_phone"] == 2 and out[5]["red"].count("<PHONE>") == 2
+    assert "555-0100" not in out[5]["red"] and "7946" not in out[5]["red"]
+    # '+'-prefixed forms masked, the bare national number stays (documented)
+    assert out[6]["n_phone"] == 1 and "2345678" not in out[6]["red"]
+    assert "(415) 555-0100" in out[6]["red"]
