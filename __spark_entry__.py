@@ -1161,6 +1161,48 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(payloads).orderBy("url")
 
 
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode (the dominant crawl image format): each doc
+    becomes a 48x32 image of per-8x8-block uniform values planted from
+    doc_id arithmetic, encoded as baseline JPEG at quality 75 (even
+    doc_ids grayscale, odd doc_ids RGB 4:2:0 with R=G=B), then decoded by
+    the native pure-numpy JPEG decoder inside image_summary. Quality 75
+    makes the luminance DC quantizer exactly 8, so per-block-uniform
+    images roundtrip BIT-EXACTLY through Huffman + DC prediction +
+    dequant + IDCT (tests/test_jpeg.py pins this against a hand-built
+    spec fixture) — which lets the oracle recompute the decoded pixel
+    mean from the SAME planting arithmetic in pure SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg
+    from mashing_pumpkins_spark.operators.multimodal import image_summary
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("doc_id").alias("d"),
+    )
+
+    @F.pandas_udf(BinaryType())
+    def to_jpeg(ds: pd.Series) -> pd.Series:
+        out = []
+        i = np.arange(4)[:, None]
+        j = np.arange(6)[None, :]
+        for d in ds:
+            vals = ((int(d) * 37 + 29 * i + 13 * j) % 256).astype(np.uint8)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            if int(d) % 2 == 0:
+                out.append(encode_jpeg(img, quality=75))
+            else:
+                rgb = np.stack([img] * 3, axis=-1)
+                out.append(encode_jpeg(rgb, quality=75, subsampling="4:2:0"))
+        return pd.Series(out)
+
+    payloads = docs.select("url", to_jpeg("d").alias("payload"))
+    return image_summary(payloads).orderBy("url")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (Dolma-style masking — a text TRANSFORM, not a
     filter): each doc gets deterministic PII planted (email, IPv4, phone —
@@ -1349,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_cube": q_token_stats_cube,
         "image_decode_stats": q_image_decode_stats,
         "png_decode_stats": q_png_decode_stats,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "url_canonical": q_url_canonical,
         "gopher_rules": q_gopher_rules,
         "source_similarity": q_source_similarity,
@@ -2180,6 +2223,24 @@ def oracle_sql() -> dict[str, str]:
                    16::bigint as width, h::bigint as height, 1::bigint as channels,
                    round_even(avg(v), 6) as mean_intensity
             from px group by doc_id, h order by url
+        """,
+        # decoded-pixel mean re-derived from the planting arithmetic: at
+        # quality 75 (DC quantizer 8) per-block-uniform images roundtrip
+        # exactly through the lossy codec, so mean over planted blocks ==
+        # mean over decoded pixels (tests/test_jpeg.py pins the exactness)
+        "jpeg_decode_stats": """
+            with blocks as (
+              select doc_id,
+                     (doc_id * 37 + 29 * i + 13 * j) % 256 as v
+              from documents,
+                   unnest(generate_series(0, 3)) as t1(i),
+                   unnest(generate_series(0, 5)) as t2(j)
+            )
+            select cast(doc_id as varchar) as url,
+                   48::bigint as width, 32::bigint as height,
+                   (case when doc_id % 2 = 0 then 1 else 3 end)::bigint as channels,
+                   round_even(avg(v), 6) as mean_intensity
+            from blocks group by doc_id order by url
         """,
         "png_decode_stats": """
             with d as (

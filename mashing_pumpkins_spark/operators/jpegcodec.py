@@ -1,0 +1,627 @@
+"""Baseline-sequential JPEG codec in pure numpy + stdlib — no external
+image libraries, mirroring the PNG codec's role (multimodal.py): a REAL
+decoder behind ``decode_image`` for the dominant crawl image format, with
+an encoder so tests and driver queries can build deterministic payloads.
+
+Public-spec sources only: ITU-T T.81 / ISO 10918-1 (marker syntax, Annex K
+example quantization + Huffman tables, Annex F entropy coding procedures)
+and the JFIF 1.02 spec (BT.601 full-range color transform). Reference
+parity note: the reference repo (lgautier/mashing-pumpkins) has no image
+path at all — this module belongs to the LLM-training-data extensions, as
+SURVEY.md §2 lists for multimodal columns.
+
+Scope (documented, enforced):
+  decode  baseline DCT (SOF0) and extended-sequential (SOF1) Huffman
+          scans, 8-bit samples, 1 or 3 components, sampling factors 1-2
+          (4:4:4 / 4:2:2 / 4:2:0), restart markers, 8/16-bit DQT.
+          Progressive (SOF2+), arithmetic coding (SOF9+), hierarchical
+          and 12-bit raise NotImplementedError; truncated/corrupt streams
+          raise ValueError. Decompression-bomb cap: H*W*components is
+          checked against ``max_pixels`` BEFORE any entropy decode (the
+          PNG codec's cap contract).
+  encode  grayscale HxW or RGB HxWx3 uint8 -> baseline JFIF bytes;
+          quality 1-100 (Annex K tables, libjpeg-style scaling), 4:4:4 or
+          4:2:0, optional restart interval. Not a rate/quality-optimized
+          encoder — a spec-faithful payload builder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+# ITU-T T.81 Annex K.1 — example quantization tables (row-major).
+STD_LUMA_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+STD_CHROMA_QT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# zig-zag scan order: ZIGZAG[i] = row-major index of the i-th coefficient.
+def _zigzag_order() -> np.ndarray:
+    # anti-diagonals in order; odd diagonals walk down (row ascending),
+    # even diagonals walk up (column ascending) — T.81 Figure 5
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.3 — typical Huffman tables as (BITS[1..16], HUFFVAL) pairs.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II basis: F = M @ B @ M.T is exactly the T.81
+# FDCT (S(0,0) = 8 * mean(B - 128) convention); B = M.T @ F @ M inverts it
+_k = np.arange(8.0)
+_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * 0.5
+_M[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by IJG quality semantics (public libjpeg
+    formula): scale = 5000/q below 50 else 200-2q, clipped to [1,255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def s(t: np.ndarray) -> np.ndarray:
+        return np.clip((t * scale + 50) // 100, 1, 255).astype(np.int32)
+    return s(STD_LUMA_QT), s(STD_CHROMA_QT)
+
+
+# ------------------------------------------------------------- bit writer
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def pad_to_byte(self) -> None:
+        if self._nbits:
+            self.write((1 << (8 - self._nbits)) - 1, 8 - self._nbits)
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the canonical code assignment of
+    T.81 Annex C."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+# ---------------------------------------------------------------- encoder
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as baseline JFIF.
+
+    ``subsampling``: "4:4:4" or "4:2:0" (ignored for grayscale).
+    ``restart_interval``: MCUs between RSTn markers (0 = none) — lets
+    tests exercise the decoder's restart path."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
+        raise ValueError("expected HxW or HxWx3 uint8")
+    if a.size == 0:
+        raise ValueError("empty image")
+    h, w = a.shape[:2]
+    color = a.ndim == 3
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    sub = color and subsampling == "4:2:0"
+
+    luma_qt, chroma_qt = quality_tables(quality)
+    if color:
+        f = a.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = 128.0 - 0.168735892 * f[..., 0] - 0.331264108 * f[..., 1] + 0.5 * f[..., 2]
+        cr = 128.0 + 0.5 * f[..., 0] - 0.418687589 * f[..., 1] - 0.081312411 * f[..., 2]
+        planes = [np.clip(np.rint(p), 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [a.astype(np.float64)]
+
+    hv = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
+    hmax = max(x for x, _ in hv)
+    vmax = max(y_ for _, y_ in hv)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    comp_blocks = []  # per component: (blocks_y, blocks_x, 8, 8) quantized int
+    for ci, plane in enumerate(planes):
+        hi, vi = hv[ci]
+        if ci > 0 and sub:
+            # box downsample by 2 (edge-replicate odd dimensions first)
+            if plane.shape[0] % 2:
+                plane = np.vstack([plane, plane[-1:]])
+            if plane.shape[1] % 2:
+                plane = np.hstack([plane, plane[:, -1:]])
+            plane = np.rint(
+                (plane[0::2, 0::2] + plane[1::2, 0::2] + plane[0::2, 1::2] + plane[1::2, 1::2]) / 4.0
+            )
+        by, bx = mcus_y * vi, mcus_x * hi
+        target_h, target_w = by * 8, bx * 8
+        pad_h, pad_w = target_h - plane.shape[0], target_w - plane.shape[1]
+        plane = np.pad(plane, ((0, pad_h), (0, pad_w)), mode="edge")
+        blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.einsum("ij,abjk,lk->abil", _M, blocks, _M)
+        qt = luma_qt if ci == 0 else chroma_qt
+        comp_blocks.append(np.rint(coefs / qt).astype(np.int64))
+
+    dc_tables = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+                 _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tables = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+                 _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    def encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, tsel: int) -> int:
+        dc_tab, ac_tab = dc_tables[tsel], ac_tables[tsel]
+        dc = int(zz[0])
+        size, bits = _magnitude(dc - pred)
+        code, length = dc_tab[size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l = ac_tab[0xF0]  # ZRL
+                bw.write(c, l)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, l = ac_tab[(run << 4) | size]
+            bw.write(c, l)
+            bw.write(bits, size)
+            run = 0
+            if i == last_nz:
+                break
+        if last_nz < 63:
+            c, l = ac_tab[0x00]  # EOB
+            bw.write(c, l)
+        return dc
+
+    # entropy-coded scan
+    body = bytearray()
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.pad_to_byte()
+                body += bw.out
+                body += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                hi, vi = hv[ci]
+                tsel = 0 if ci == 0 else 1
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        block = comp_blocks[ci][my * vi + byi, mx * hi + bxi]
+                        zz = block.reshape(64)[ZIGZAG]
+                        preds[ci] = encode_block(bw, zz, preds[ci], tsel)
+            mcu_count += 1
+    bw.pad_to_byte()
+    body += bw.out
+
+    # ----- markers
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x01\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(luma_qt.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if color:
+        out += seg(0xDB, bytes([0x01]) + bytes(chroma_qt.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    def dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if color:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+class _BitReader:
+    """MSB-first reader over an already-unstuffed byte segment."""
+
+    __slots__ = ("data", "pos", "_acc", "_nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _HuffTable:
+    """Canonical decode per T.81 F.2.2.3 (MINCODE/MAXCODE/VALPTR)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        idx = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = idx
+                self.mincode[length] = code
+                code += bits[length - 1]
+                idx += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("invalid Huffman code")
+            code = (code << 1) | br.read_bit()
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy-coded data from `start`, splitting at RSTn.
+    Returns (segments, index of the terminating marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG stream")
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # any real marker terminates the scan
+            segments.append(bytes(cur))
+            return segments, i
+    raise ValueError("JPEG scan not terminated by a marker")
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
+    """Decode baseline/extended-sequential Huffman JPEG to HxW (grayscale)
+    or HxWx3 (RGB) uint8. See module docstring for scope; progressive /
+    arithmetic / 12-bit raise NotImplementedError, malformed input raises
+    ValueError. ``max_pixels`` caps H*W*components before entropy decode
+    (decompression-bomb guard, same contract as decode_png)."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) ; comps = list of (cid, hi, vi, tq)
+    i = 2
+    n = len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS — no image data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG marker segment")
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG marker segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    zz = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                elif pq == 1:
+                    zz = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    raise ValueError("bad DQT precision")
+                if len(zz) != 64:
+                    raise ValueError("truncated DQT")
+                qts[tq] = zz[UNZIGZAG].reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hvbyte, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hvbyte >> 4, hvbyte & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError("sampling factors beyond 2 unsupported")
+                comps.append((cid, hi, vi, tq))
+            if fh == 0 or fw == 0:
+                raise ValueError("zero image dimension")
+            if fh * fw * nc > max_pixels:
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh}x{nc} exceed max_pixels={max_pixels}"
+                )
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG not supported "
+                "(baseline + extended-sequential Huffman only)"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_sel.append((cs, tabs >> 4, tabs & 0x0F))
+            return _decode_scan(
+                payload, i + 2 + seg_len, frame, scan_sel, qts,
+                dc_tabs, ac_tabs, restart_interval,
+            )
+        # APPn / COM / others: skip
+        i += 2 + seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(payload, start, frame, scan_sel, qts, dc_tabs, ac_tabs, ri):
+    fh, fw, comps = frame
+    if len(scan_sel) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    segments, _end = _split_scan(payload, start)
+
+    order = []  # per-MCU block order: (comp_index, dc_table, ac_table, qt)
+    by_comp: list[list[np.ndarray]] = [[] for _ in comps]
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        sel = next((s for s in scan_sel if s[0] == cid), None)
+        if sel is None:
+            raise ValueError("scan component not in frame")
+        _cs, td, ta = sel
+        if td not in dc_tabs or ta not in ac_tabs or tq not in qts:
+            raise ValueError("missing Huffman/quantization table")
+        for _ in range(hi * vi):
+            order.append((ci, dc_tabs[td], ac_tabs[ta], qts[tq]))
+
+    total_mcus = mcus_x * mcus_y
+    expected_segments = (
+        -(-total_mcus // ri) if ri else 1
+    )
+    if len(segments) < expected_segments:
+        raise ValueError("truncated JPEG scan (missing restart segments)")
+
+    mcu = 0
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    coef_lists: list[list[np.ndarray]] = [[] for _ in comps]
+    while mcu < total_mcus:
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        for ci, dc_tab, ac_tab, qt in order:
+            zz = np.zeros(64, dtype=np.int64)
+            size = dc_tab.decode(br)
+            if size > 11:
+                raise ValueError("invalid DC size category")
+            diff = _extend(br.read_bits(size), size)
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = ac_tab.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.read_bits(s), s)
+                k += 1
+            coef_lists[ci].append(zz[UNZIGZAG].reshape(8, 8) * qt)
+        mcu += 1
+
+    # batch IDCT per component, then reassemble planes
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        blocks = np.stack(coef_lists[ci])  # (total_mcus*hi*vi, 8, 8)
+        pixels = np.einsum("ji,ajk,kl->ail", _M, blocks, _M) + 128.0
+        bw_ = mcus_x * hi
+        bh_ = mcus_y * vi
+        # blocks are stored MCU-major, row-major within the MCU
+        plane = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+        idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        plane[
+                            (my * vi + byi) * 8 : (my * vi + byi) * 8 + 8,
+                            (mx * hi + bxi) * 8 : (mx * hi + bxi) * 8 + 8,
+                        ] = pixels[idx]
+                        idx += 1
+        # upsample to full resolution (sample replication), crop to frame
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The netpbm formats (PGM ``P5`` / PPM ``P6``) and PNG (all five scanline
+The netpbm formats (PGM ``P5`` / PPM ``P6``), PNG (all five scanline
 filters, gray/RGB/palette/alpha at 8/16-bit, DEFLATE via stdlib zlib)
-decode NATIVELY in pure numpy (decode_image / decode_png), with
-nearest-neighbor resize (resize_nearest) and a decode -> resize ->
-featurize mapInPandas operator (image_summary). Codecs absent from this
-container (JPEG/WebP/MP3/MP4) raise NotImplementedError from the same
+and baseline JPEG (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
+markers — jpegcodec.py) decode NATIVELY in pure numpy
+(decode_image / decode_png / decode_jpeg), with nearest-neighbor resize
+(resize_nearest) and a decode -> resize -> featurize mapInPandas
+operator (image_summary). Codecs absent from this container
+(WebP/progressive JPEG/MP3/MP4) raise NotImplementedError from the same
 decode entry points — wire PIL/turbojpeg/ffmpeg there at deploy time;
 the Spark plumbing (schema, Arrow batch shape, bounded batches,
 null-safe error rows) is identical.
@@ -243,21 +245,27 @@ def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image in pure numpy: netpbm (PGM ``P5`` -> HxW,
-    PPM ``P6`` -> HxWx3; 8-bit or 16-bit big-endian) and PNG (stdlib-zlib
-    DEFLATE — see decode_png) are REAL decoders with no external
-    libraries. Formats needing codecs absent from this container
-    (JPEG/WebP/...) still raise NotImplementedError from this same entry
+    PPM ``P6`` -> HxWx3; 8-bit or 16-bit big-endian), PNG (stdlib-zlib
+    DEFLATE — see decode_png) and baseline-sequential JPEG (see
+    jpegcodec.decode_jpeg) are REAL decoders with no external libraries.
+    Formats needing codecs absent from this container (WebP, progressive
+    JPEG, ...) still raise NotImplementedError from this same entry
     point; wire PIL/turbojpeg there at deploy time. The Spark-side
     contract either way is binary in, ndarray out."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise NotImplementedError(
             f"decode for format {magic!r} is stubbed in this environment; "
-            "only netpbm P5/P6 and PNG decode natively — wire PIL/turbojpeg here"
+            "only netpbm P5/P6, PNG and baseline JPEG decode natively — "
+            "wire PIL/turbojpeg for WebP/progressive-JPEG here"
         )
     # header: magic, then 3 ASCII ints (width height maxval) separated by
     # whitespace, '#' comments running to end-of-line, then ONE whitespace

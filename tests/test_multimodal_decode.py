@@ -42,8 +42,12 @@ def test_decode_pgm_16bit_big_endian():
 
 
 def test_decode_unsupported_format_still_raises():
+    # WebP needs a codec this container lacks; baseline JPEG now decodes
+    # natively (jpegcodec.py) so a malformed JPEG is ValueError instead
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 truncated jpeg")
     with pytest.raises(ValueError):
         decode_image(b"")
 
