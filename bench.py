@@ -286,7 +286,15 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "source_similarity",
         "pii_scrub",
     ]
-    for name in bench_queries:
+    # credit-window discipline: one probe-driven recovery gap after the
+    # (heavy) headline stage and one at the query-list midpoint, sharing a
+    # bounded idle budget — no query then sits deep into sustained load
+    gap_budget = {"sec": int(os.environ.get("SPARK_GRAFT_BENCH_GAP_BUDGET", "300"))}
+    recovery_gaps = {"after_headline": _recovery_gap(hw_probe["1"], gap_budget)}
+    midpoint = len(bench_queries) // 2
+    for qi, name in enumerate(bench_queries):
+        if qi == midpoint:
+            recovery_gaps["mid_queries"] = _recovery_gap(hw_probe["1"], gap_budget)
         if name is None or name not in queries:
             continue
         t0 = time.monotonic()
@@ -335,6 +343,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "sketch_mb_per_sec": round(sketch_mb_per_sec[0], 3),
         "kernel_mb_per_sec_single_core": kernel_mb,
         "hw_probe_mb_per_sec": hw_probe,
+        "hw_probe_end_mb_per_sec": {"1": _hw_probe(1)},
+        "recovery_gaps": recovery_gaps,
         "cpus": cpus,
     }
 
@@ -390,6 +400,27 @@ def _hw_probe(procs: int) -> float:
     for p in ps:
         p.join()
     return round(sum(rates), 1)
+
+
+def _recovery_gap(baseline_1proc: float, budget: dict) -> dict:
+    """Credit-window discipline (BENCH/BASELINE.md round-4 caution): idle
+    until the 1-proc hw probe recovers to >=70% of the run-start value, or
+    the SHARED gap budget is exhausted. Keeps no query sitting >6-7 min
+    into sustained load, so tail entries reproduce across consecutive full
+    runs instead of measuring the drained credit state. Returns the probe
+    trace for the bench JSON."""
+    waited = 0
+    probes = []
+    while True:
+        p = _hw_probe(1)
+        probes.append(p)
+        if p >= 0.7 * baseline_1proc or budget["sec"] <= 0:
+            break
+        step = min(45, budget["sec"])
+        time.sleep(step)
+        budget["sec"] -= step
+        waited += step
+    return {"waited_sec": waited, "probes": probes}
 
 
 def run_scaling() -> dict:
@@ -547,7 +578,15 @@ def run_scaling() -> dict:
         "probe opened at 15.9/55.0 MB/s, the headline landed at 34.5 s, and "
         "tail queries then measured 2-5x their stable-host times (e.g. "
         "pipeline_clusters 13.4 s stable vs 71.9 s post-collapse); compare "
-        "tail entries only across runs with matching probe states. Leg "
+        "tail entries only across runs with matching probe states. "
+        "Round-5 mitigation: the default bench now inserts probe-driven "
+        "recovery gaps (shared 300 s idle budget, "
+        "SPARK_GRAFT_BENCH_GAP_BUDGET) after the headline stage and at the "
+        "query-list midpoint — it idles until the 1-proc probe recovers to "
+        ">=70% of the run-start value — and records the probe trace plus a "
+        "run-end probe in the bench JSON (recovery_gaps / "
+        "hw_probe_end_mb_per_sec), so no query sits deep into sustained "
+        "load and tail entries reproduce across consecutive runs. Leg "
         "order within a scaling run is N first, then 4N: sustained load "
         "drains burst credits, so the 4N leg generally lands in a worse "
         "host state and raw efficiencies are conservative in expectation.\n\n"
@@ -561,7 +600,27 @@ def run_scaling() -> dict:
         "start) showed 17.3 s / 11.4 s for the SAME r3 code. Verdict: the "
         "BENCH_r04 12.5 s / 5.1 s readings were credit-window drain "
         "(12.5 s sits inside the recorded 13.4 s stable band), not code "
-        "regressions; the round-4 pluggable-store seam is exonerated.\n"
+        "regressions; the round-4 pluggable-store seam is exonerated.\n\n"
+        "## Banding tuning curve (scripts/banding_sweep.py, recorded round-5 run)\n\n"
+        "800-page planted corpus, tau 0.8, k=256 signatures; truth = all "
+        "136 pairs with exact sketch Jaccard >= tau. Banding-stage "
+        "(direct-edge) numbers per (bands x rows):\n\n"
+        "| b x r | p_hit(tau) | candidates | cand recall | cand prec | edge recall |\n"
+        "|---|---|---|---|---|---|\n"
+        "| 8x32 | 0.0063 | 58 | 0.4265 | 1.0 | 0.4265 |\n"
+        "| 16x16 | 0.3667 | 135 | 0.8897 | 0.8963 | 0.8897 |\n"
+        "| 32x8 | 0.9972 | 333 | 1.0 | 0.4084 | 1.0 |\n"
+        "| 64x4 | 1.0 | 974 | 1.0 | 0.1396 | 1.0 |\n"
+        "| 32x4 | 1.0 | 722 | 1.0 | 0.1884 | 1.0 |\n\n"
+        "Reading: p_hit is the S-curve value AT tau — pairs at the "
+        "threshold edge; planted pairs mostly sit far above tau where the "
+        "curve is ~1, so 16x16 already finds 89% of threshold-exact pairs "
+        "directly, and the PIPELINE's >=0.99 dup-pair recall "
+        "(test_pipeline_recall_and_precision) is cluster-level: exact-dup "
+        "collapse plus transitive chaining recover threshold-straddling "
+        "pairs the banding stage misses. 32x8 buys direct-edge recall "
+        "1.0 at 2.5x the verify work — the config to pick if cluster "
+        "chaining is disabled; 16x16 stays the default knee.\n"
     )
     out["sketch_mb_per_sec"] = sketch_mb
     out["kernel_mb_per_sec_single_core"] = kernel_mb
