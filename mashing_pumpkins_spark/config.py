@@ -41,9 +41,16 @@ class PipelineConfig:
     sketch: SketchConfig = field(default_factory=SketchConfig)
     # LSH banding: n_bands OPH multiply-shift rehash keys per doc, each key
     # digesting rows_per_band dense-OPH slots of the sketch contents
-    # (operators/banding.py — NOT a sorted-prefix split)
-    n_bands: int = 16
-    rows_per_band: int = 16
+    # (operators/banding.py — NOT a sorted-prefix split).
+    # Default 32x8 (round-5): the banding sweep (scripts/banding_sweep.py,
+    # table in BENCH/BASELINE.md) showed 16x16's implied threshold
+    # (1/16)^(1/16) ~= 0.84 sits ABOVE tau=0.8, so pairs AT the threshold
+    # were found directly only ~40% of the time (a 20k-page soak sampled
+    # 0.83 recall on tau-edge pairs); 32x8's implied threshold ~0.65 puts
+    # p_hit(0.8) at 0.9972 — the config every gate query and test already
+    # used explicitly.
+    n_bands: int = 32
+    rows_per_band: int = 8
     jaccard_threshold: float = 0.8
     # banding reads only the bottom band_input_k sketch values: a KMV
     # prefix of the sketch is itself a KMV sketch, so component-match
