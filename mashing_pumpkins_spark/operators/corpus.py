@@ -306,17 +306,28 @@ def gopher_rules(
     return flags.withColumn("keep", keep)
 
 
-def gopher_rule_columns(text: Column) -> list[tuple[str, Column]]:
+def gopher_rule_columns(
+    text: Column,
+    alpha_class: str = "[a-z]",
+    stopwords: list[str] | None = None,
+) -> list[tuple[str, Column]]:
     """The (name, boolean Column) list behind gopher_rules — exposed so
     stream-side admission (streaming/curation_stream.py) applies the
-    identical gates without an id-keyed join."""
+    identical gates without an id-keyed join.
+
+    English defaults (as published); for a language-neutral or
+    per-language battery pass ``alpha_class`` (e.g. ``"\\p{L}"`` — Java
+    regex Unicode letter class, still zero-shuffle) and the target
+    language's ``stopwords`` downstream of lang_id."""
     w = words_array(text)
     n_words = F.size(w)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_len = (
         F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nw
     )
-    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nw
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike(alpha_class))).cast("double") / nw
+    )
     lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
     nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
@@ -340,7 +351,7 @@ def gopher_rule_columns(text: Column) -> list[tuple[str, Column]]:
     # one stopword definition across quality_score, lang_id, and this gate
     from ..functions.textstats import _EN_STOPWORDS
 
-    stops = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    stops = F.array(*[F.lit(s) for s in (stopwords or _EN_STOPWORDS)])
     stop_hits = F.size(
         F.filter(F.array_distinct(w), lambda x: F.array_contains(stops, x))
     )

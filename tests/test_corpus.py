@@ -359,3 +359,31 @@ def test_decontaminate_bloom_trailing_newline_docs_no_false_negative(spark):
     }
     assert exact[1] == 1, "JVM sides must share the trailing-empty gram"
     assert bloom == exact
+
+
+def test_gopher_rule_columns_language_neutral_overrides(spark):
+    """The battery is English-only by default (documented); passing a
+    Unicode alpha class + a target-language stoplist admits non-Latin
+    documents without changing the zero-shuffle shape."""
+    from pyspark.sql import functions as F
+
+    from mashing_pumpkins_spark.operators.corpus import gopher_rule_columns
+
+    ru_words = ["и", "в", "не", "на", "что", "быть", "он", "она", "это"]
+    text = " ".join((ru_words * 12)[:100])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    default_rules = dict(gopher_rule_columns(F.col("text")))
+    ru_rules = dict(
+        gopher_rule_columns(
+            F.col("text"), alpha_class=r"\p{L}", stopwords=ru_words[:5]
+        )
+    )
+    row = df.select(
+        default_rules["r_alpha"].alias("en_alpha"),
+        default_rules["r_stop"].alias("en_stop"),
+        ru_rules["r_alpha"].alias("ru_alpha"),
+        ru_rules["r_stop"].alias("ru_stop"),
+    ).first()
+    assert not row["en_alpha"] and not row["en_stop"]  # English battery rejects
+    assert row["ru_alpha"] and row["ru_stop"]  # language-aware battery admits
