@@ -416,8 +416,12 @@ def test_multimodal_plumbing(spark):
     assert abs(sum(out["u1"]["features"]) - 1.0) < 1e-9
     assert out["u2"]["payload_bytes"] == 0
     assert sum(out["u3"]["features"]) == 0.0
+    # baseline JPEG decodes natively since round-5; a truncated JPEG is a
+    # ValueError, and only codec-less formats (WebP) stay stubbed
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")  # decode is explicitly stubbed
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_streaming_sketch_aggregate(spark, tmp_path):

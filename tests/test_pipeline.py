@@ -199,7 +199,7 @@ def test_config_hash_covers_all_output_affecting_fields():
         PipelineConfig(band_input_k=64),
         PipelineConfig(band_group_cap=500),
         PipelineConfig(min_doc_bytes=100),
-        PipelineConfig(n_bands=32, rows_per_band=8),
+        PipelineConfig(n_bands=16, rows_per_band=16),  # non-default since r5
         PipelineConfig(jaccard_threshold=0.7),
         PipelineConfig(sketch=SketchConfig(maxsize=128)),
         PipelineConfig(shard_chunk_bytes=1 << 20),
