@@ -14,11 +14,12 @@ Scope (documented, enforced):
   decode  baseline DCT (SOF0) and extended-sequential (SOF1) Huffman
           scans, 8-bit samples, 1 or 3 components, sampling factors 1-2
           (4:4:4 / 4:2:2 / 4:2:0), restart markers, 8/16-bit DQT.
-          Progressive (SOF2+), arithmetic coding (SOF9+), hierarchical
-          and 12-bit raise NotImplementedError; truncated/corrupt streams
-          raise ValueError. Decompression-bomb cap: H*W*components is
-          checked against ``max_pixels`` BEFORE any entropy decode (the
-          PNG codec's cap contract).
+          Progressive (SOF2+), arithmetic coding (SOF9+), hierarchical,
+          12-bit, and non-interleaved multi-scan files raise
+          NotImplementedError; truncated/corrupt streams raise
+          ValueError. Decompression-bomb cap: H*W*components is checked
+          against ``max_pixels`` BEFORE any entropy decode (the PNG
+          codec's cap contract).
   encode  grayscale HxW or RGB HxWx3 uint8 -> baseline JFIF bytes;
           quality 1-100 (Annex K tables, libjpeg-style scaling), 4:4:4 or
           4:2:0, optional restart interval. Not a rate/quality-optimized

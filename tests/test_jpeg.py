@@ -122,6 +122,17 @@ def test_error_contract():
     prog = bytes(good[:sof0]) + b"\xff\xc2" + bytes(good[sof0 + 2 :])
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(prog)
+    # non-interleaved multi-scan (SOS covering fewer components than the
+    # frame) is NotImplementedError too, decided before entropy decode
+    color = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8), quality=75))
+    sos = bytes(color).find(b"\xff\xda")
+    single = (
+        bytes(color[:sos])
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + bytes(color[sos + 14 :])  # original SOS (Ns=3) is 14 bytes
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(single)
 
 
 # ---------------------------------------------------------------------------
