@@ -333,7 +333,10 @@ def encode_jpeg(
 
 # ---------------------------------------------------------------- decoder
 class _BitReader:
-    """MSB-first reader over an already-unstuffed byte segment."""
+    """MSB-first buffered reader over an already-unstuffed byte segment.
+    ``peek*`` pads with zeros past the stream end (never consumes);
+    ``skip``/``read_bits`` raise on true exhaustion, preserving the
+    truncation contract."""
 
     __slots__ = ("data", "pos", "_acc", "_nbits")
 
@@ -343,51 +346,82 @@ class _BitReader:
         self._acc = 0
         self._nbits = 0
 
-    def read_bit(self) -> int:
-        if self._nbits == 0:
+    def _fill(self, need: int) -> None:
+        while self._nbits < need:
             if self.pos >= len(self.data):
                 raise ValueError("truncated JPEG entropy segment")
-            self._acc = self.data[self.pos]
+            self._acc = (self._acc << 8) | self.data[self.pos]
             self.pos += 1
-            self._nbits = 8
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+            self._nbits += 8
+
+    def _peek(self, n: int) -> int:
+        while self._nbits < n and self.pos < len(self.data):
+            self._acc = (self._acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self._nbits += 8
+        if self._nbits >= n:
+            return (self._acc >> (self._nbits - n)) & ((1 << n) - 1)
+        return (self._acc << (n - self._nbits)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self._fill(n)
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self._acc >> (self._nbits - n)) & ((1 << n) - 1)
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
         return v
 
 
 class _HuffTable:
-    """Canonical decode per T.81 F.2.2.3 (MINCODE/MAXCODE/VALPTR)."""
+    """Canonical decode per T.81 F.2.2.3 (MINCODE/MAXCODE/VALPTR), with an
+    8-bit prefix lookup fast path: symbols whose code is <= 8 bits (the
+    overwhelming majority in real tables) resolve with one peek + one
+    table index instead of a per-bit walk."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.vals = vals
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
+        self.fast = [(-1, 0)] * 256
         code = 0
         idx = 0
         for length in range(1, 17):
             if bits[length - 1]:
                 self.valptr[length] = idx
                 self.mincode[length] = code
-                code += bits[length - 1]
-                idx += bits[length - 1]
+                if length <= 8:
+                    for _ in range(bits[length - 1]):
+                        base = code << (8 - length)
+                        entry = (vals[idx], length)
+                        for suffix in range(1 << (8 - length)):
+                            self.fast[base | suffix] = entry
+                        code += 1
+                        idx += 1
+                else:
+                    code += bits[length - 1]
+                    idx += bits[length - 1]
                 self.maxcode[length] = code - 1
             code <<= 1
 
     def decode(self, br: _BitReader) -> int:
-        code = br.read_bit()
-        length = 1
-        while code > self.maxcode[length]:
-            length += 1
-            if length > 16:
-                raise ValueError("invalid Huffman code")
-            code = (code << 1) | br.read_bit()
-        return self.vals[self.valptr[length] + code - self.mincode[length]]
+        sym, length = self.fast[br._peek(8)]
+        if length:
+            br.skip(length)
+            return sym
+        code16 = br._peek(16)
+        for length in range(9, 17):
+            c = code16 >> (16 - length)
+            if c <= self.maxcode[length]:
+                br.skip(length)
+                return self.vals[self.valptr[length] + c - self.mincode[length]]
+        raise ValueError("invalid Huffman code")
 
 
 def _extend(bits: int, size: int) -> int:
