@@ -22,6 +22,16 @@ LANG_MARKERS = {
 
 _EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "it", "on", "as", "at", "by"]
 
+# per-language stoplists for a lang_id-routed Gopher battery
+# (operators/corpus.gopher_rule_columns(stopwords=STOPWORDS_BY_LANG[lang]))
+# — the LANG_MARKERS core plus a few high-frequency function words each
+STOPWORDS_BY_LANG = {
+    "en": _EN_STOPWORDS,
+    "de": LANG_MARKERS["de"] + ["den", "von", "auf", "im", "eine", "als", "auch"],
+    "fr": LANG_MARKERS["fr"] + ["de", "des", "du", "en", "un", "dans", "au"],
+    "es": LANG_MARKERS["es"] + ["de", "del", "en", "un", "con", "por", "se"],
+}
+
 
 def whitespace_token_count(text: Column) -> Column:
     """Number of whitespace-delimited tokens."""

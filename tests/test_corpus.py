@@ -387,3 +387,23 @@ def test_gopher_rule_columns_language_neutral_overrides(spark):
     ).first()
     assert not row["en_alpha"] and not row["en_stop"]  # English battery rejects
     assert row["ru_alpha"] and row["ru_stop"]  # language-aware battery admits
+
+
+def test_gopher_battery_with_per_language_stoplists(spark):
+    """STOPWORDS_BY_LANG routes the battery per language: a German doc
+    fails r_stop under the English list but passes with the German one."""
+    from pyspark.sql import functions as F
+
+    from mashing_pumpkins_spark.functions.textstats import STOPWORDS_BY_LANG
+    from mashing_pumpkins_spark.operators.corpus import gopher_rule_columns
+
+    de_text = " ".join(
+        ["der", "hund", "und", "die", "katze", "ist", "nicht", "im", "haus"] * 12
+    )[:-1]
+    df = spark.createDataFrame([(1, de_text)], "doc_id long, text string")
+    en_stop = dict(gopher_rule_columns(F.col("text")))["r_stop"]
+    de_stop = dict(
+        gopher_rule_columns(F.col("text"), stopwords=STOPWORDS_BY_LANG["de"])
+    )["r_stop"]
+    row = df.select(en_stop.alias("en"), de_stop.alias("de")).first()
+    assert not row["en"] and row["de"]
