@@ -1164,19 +1164,25 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode (the dominant crawl image format): each doc
     becomes a 48x32 image of per-8x8-block uniform values planted from
-    doc_id arithmetic, encoded as baseline JPEG at quality 75 (even
-    doc_ids grayscale, odd doc_ids RGB 4:2:0 with R=G=B), then decoded by
+    doc_id arithmetic, encoded as JPEG at quality 75 (even doc_ids
+    grayscale, odd doc_ids RGB 4:2:0 with R=G=B; doc_id % 4 >= 2 via the
+    PROGRESSIVE encoder — SOF2 spectral selection + successive
+    approximation, which decodes to identical pixels), then decoded by
     the native pure-numpy JPEG decoder inside image_summary. Quality 75
     makes the luminance DC quantizer exactly 8, so per-block-uniform
     images roundtrip BIT-EXACTLY through Huffman + DC prediction +
     dequant + IDCT (tests/test_jpeg.py pins this against a hand-built
     spec fixture) — which lets the oracle recompute the decoded pixel
-    mean from the SAME planting arithmetic in pure SQL."""
+    mean from the SAME planting arithmetic in pure SQL, for baseline and
+    progressive payloads alike."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
-    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg
+    from mashing_pumpkins_spark.operators.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from mashing_pumpkins_spark.operators.multimodal import image_summary
 
     docs = _docs(spark, sf_dir).select(
@@ -1192,11 +1198,12 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in ds:
             vals = ((int(d) * 37 + 29 * i + 13 * j) % 256).astype(np.uint8)
             img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            enc = encode_jpeg_progressive if int(d) % 4 >= 2 else encode_jpeg
             if int(d) % 2 == 0:
-                out.append(encode_jpeg(img, quality=75))
+                out.append(enc(img, quality=75))
             else:
                 rgb = np.stack([img] * 3, axis=-1)
-                out.append(encode_jpeg(rgb, quality=75, subsampling="4:2:0"))
+                out.append(enc(rgb, quality=75, subsampling="4:2:0"))
         return pd.Series(out)
 
     payloads = docs.select("url", to_jpeg("d").alias("payload"))

@@ -11,19 +11,27 @@ path at all — this module belongs to the LLM-training-data extensions, as
 SURVEY.md §2 lists for multimodal columns.
 
 Scope (documented, enforced):
-  decode  baseline DCT (SOF0) and extended-sequential (SOF1) Huffman
-          scans, 8-bit samples, 1 or 3 components, sampling factors 1-2
+  decode  baseline (SOF0), extended-sequential (SOF1) AND progressive
+          (SOF2) Huffman scans — progressive per T.81 Annex G: spectral
+          selection, successive approximation, DC/AC first + refinement
+          passes, EOB runs, interleaved DC / non-interleaved AC scans —
+          8-bit samples, 1 or 3 components, sampling factors 1-2
           (4:4:4 / 4:2:2 / 4:2:0), restart markers, 8/16-bit DQT.
-          Progressive (SOF2+), arithmetic coding (SOF9+), hierarchical,
-          12-bit, and non-interleaved multi-scan files raise
+          Arithmetic coding (SOF9+), hierarchical, lossless, 12-bit, and
+          non-interleaved multi-scan SEQUENTIAL files raise
           NotImplementedError; truncated/corrupt streams raise
           ValueError. Decompression-bomb cap: H*W*components is checked
           against ``max_pixels`` BEFORE any entropy decode (the PNG
           codec's cap contract).
-  encode  grayscale HxW or RGB HxWx3 uint8 -> baseline JFIF bytes;
+  encode  grayscale HxW or RGB HxWx3 uint8 -> baseline JFIF bytes
+          (encode_jpeg) or progressive SOF2 with a libjpeg-style scan
+          script (encode_jpeg_progressive — ships its own AC Huffman
+          table since the Annex K baseline tables carry no EOBn symbols);
           quality 1-100 (Annex K tables, libjpeg-style scaling), 4:4:4 or
-          4:2:0, optional restart interval. Not a rate/quality-optimized
-          encoder — a spec-faithful payload builder.
+          4:2:0, optional restart interval (baseline). Not a
+          rate/quality-optimized encoder — a spec-faithful payload
+          builder; progressive and baseline encodes of the same image
+          decode to IDENTICAL pixels (the coefficient pipeline is shared).
 """
 
 from __future__ import annotations
@@ -176,17 +184,12 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------- encoder
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 75,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as baseline JFIF.
-
-    ``subsampling``: "4:4:4" or "4:2:0" (ignored for grayscale).
-    ``restart_interval``: MCUs between RSTn markers (0 = none) — lets
-    tests exercise the decoder's restart path."""
+def _prepare_components(
+    img: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]], np.ndarray, np.ndarray, int, int, bool]:
+    """Shared encoder front half: color transform, subsample, pad, FDCT,
+    quantize. Returns (comp_blocks[(by,bx,8,8) int64], hv, luma_qt,
+    chroma_qt, mcus_x, mcus_y, color)."""
     a = np.asarray(img)
     if a.dtype != np.uint8 or a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
         raise ValueError("expected HxW or HxWx3 uint8")
@@ -234,6 +237,25 @@ def encode_jpeg(
         coefs = np.einsum("ij,abjk,lk->abil", _M, blocks, _M)
         qt = luma_qt if ci == 0 else chroma_qt
         comp_blocks.append(np.rint(coefs / qt).astype(np.int64))
+    return comp_blocks, hv, luma_qt, chroma_qt, mcus_x, mcus_y, color
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as baseline JFIF.
+
+    ``subsampling``: "4:4:4" or "4:2:0" (ignored for grayscale).
+    ``restart_interval``: MCUs between RSTn markers (0 = none) — lets
+    tests exercise the decoder's restart path."""
+    a = np.asarray(img)
+    comp_blocks, hv, luma_qt, chroma_qt, mcus_x, mcus_y, color = _prepare_components(
+        img, quality, subsampling
+    )
+    h, w = a.shape[:2]
 
     dc_tables = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
                  _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -273,7 +295,8 @@ def encode_jpeg(
     # entropy-coded scan
     body = bytearray()
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    ncomps = len(comp_blocks)
+    preds = [0] * ncomps
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -284,8 +307,8 @@ def encode_jpeg(
                 body += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 bw = _BitWriter()
-                preds = [0] * len(planes)
-            for ci in range(len(planes)):
+                preds = [0] * ncomps
+            for ci in range(ncomps):
                 hi, vi = hv[ci]
                 tsel = 0 if ci == 0 else 1
                 for byi in range(vi):
@@ -463,18 +486,26 @@ def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
-    """Decode baseline/extended-sequential Huffman JPEG to HxW (grayscale)
-    or HxWx3 (RGB) uint8. See module docstring for scope; progressive /
-    arithmetic / 12-bit raise NotImplementedError, malformed input raises
-    ValueError. ``max_pixels`` caps H*W*components before entropy decode
-    (decompression-bomb guard, same contract as decode_png)."""
+    """Decode baseline (SOF0), extended-sequential (SOF1) and PROGRESSIVE
+    (SOF2) Huffman JPEG to HxW (grayscale) or HxWx3 (RGB) uint8. See
+    module docstring for scope; arithmetic / hierarchical / 12-bit raise
+    NotImplementedError, malformed input raises ValueError. ``max_pixels``
+    caps H*W*components before entropy decode (decompression-bomb guard,
+    same contract as decode_png).
+
+    Progressive scans (spectral selection + successive approximation, DC
+    and AC first/refinement passes, interleaved DC / non-interleaved AC,
+    restart markers) accumulate quantized coefficients per component per
+    T.81 Annex G; dequantization + IDCT run once at EOI."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _HuffTable] = {}
     ac_tabs: dict[int, _HuffTable] = {}
     restart_interval = 0
-    frame = None  # (h, w, comps) ; comps = list of (cid, hi, vi, tq)
+    frame = None  # (h, w, comps, progressive); comps = [(cid, hi, vi, tq)]
+    coefs: list[np.ndarray] | None = None  # per comp: (by, bx, 64) zigzag ints
+    any_scan = False
     i = 2
     n = len(payload)
     while i < n:
@@ -482,7 +513,7 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
             raise ValueError(f"expected marker at offset {i}")
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
-            raise ValueError("EOI before SOS — no image data")
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -521,7 +552,9 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -540,11 +573,19 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
                 raise ValueError(
                     f"JPEG dimensions {fw}x{fh}x{nc} exceed max_pixels={max_pixels}"
                 )
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (fh, fw, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            coefs = [
+                np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                for (_cid, hi, vi, _tq) in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG not supported "
-                "(baseline + extended-sequential Huffman only)"
+                "arithmetic/hierarchical/lossless JPEG not supported "
+                "(baseline, extended-sequential and progressive Huffman only)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -554,99 +595,235 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
             for c in range(ns):
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel.append((cs, tabs >> 4, tabs & 0x0F))
-            return _decode_scan(
-                payload, i + 2 + seg_len, frame, scan_sel, qts,
-                dc_tabs, ac_tabs, restart_interval,
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            i = _decode_one_scan(
+                payload, i + 2 + seg_len, frame, scan_sel,
+                ss, se, ah, al, coefs, qts, dc_tabs, ac_tabs, restart_interval,
             )
+            any_scan = True
+            continue
         # APPn / COM / others: skip
         i += 2 + seg_len
-    raise ValueError("no SOS marker found")
+    if frame is None or not any_scan:
+        raise ValueError("no image data (missing SOF or SOS)")
+    return _reconstruct(frame, coefs, qts)
 
 
-def _decode_scan(payload, start, frame, scan_sel, qts, dc_tabs, ac_tabs, ri):
-    fh, fw, comps = frame
-    if len(scan_sel) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG unsupported")
+def _decode_one_scan(
+    payload, start, frame, scan_sel, ss, se, ah, al,
+    coefs, qts, dc_tabs, ac_tabs, ri,
+):
+    """Decode one entropy-coded scan into the coefficient store. Returns
+    the payload index of the scan-terminating marker."""
+    fh, fw, comps, progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-    segments, _end = _split_scan(payload, start)
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+        if len(scan_sel) != len(comps):
+            raise NotImplementedError(
+                "non-interleaved multi-scan sequential JPEG unsupported"
+            )
+    else:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_sel) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral selection")
 
-    order = []  # per-MCU block order: (comp_index, dc_table, ac_table, qt)
-    by_comp: list[list[np.ndarray]] = [[] for _ in comps]
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        sel = next((s for s in scan_sel if s[0] == cid), None)
-        if sel is None:
+    # resolve scan components -> (comp_index, dc_tab|None, ac_tab|None)
+    members = []
+    for cs, td, ta in scan_sel:
+        ci = next(
+            (j for j, (cid, *_rest) in enumerate(comps) if cid == cs), None
+        )
+        if ci is None:
             raise ValueError("scan component not in frame")
-        _cs, td, ta = sel
-        if td not in dc_tabs or ta not in ac_tabs or tq not in qts:
-            raise ValueError("missing Huffman/quantization table")
-        for _ in range(hi * vi):
-            order.append((ci, dc_tabs[td], ac_tabs[ta], qts[tq]))
+        need_dc = ss == 0
+        need_ac = se > 0
+        if need_dc and ah == 0 and td not in dc_tabs:
+            raise ValueError("missing DC Huffman table")
+        if need_ac and ta not in ac_tabs:
+            raise ValueError("missing AC Huffman table")
+        members.append((ci, dc_tabs.get(td), ac_tabs.get(ta)))
 
-    total_mcus = mcus_x * mcus_y
-    expected_segments = (
-        -(-total_mcus // ri) if ri else 1
-    )
-    if len(segments) < expected_segments:
+    segments, end = _split_scan(payload, start)
+
+    # unit geometry: interleaved -> MCUs over all members; single-component
+    # scan -> that component's own block raster (T.81 A.2.2)
+    interleaved = len(members) > 1
+    if interleaved:
+        total_units = mcus_x * mcus_y
+    else:
+        ci = members[0][0]
+        _cid, hi, vi, _tq = comps[ci]
+        nb_x = -(-(fw * hi) // (8 * hmax))
+        nb_y = -(-(fh * vi) // (8 * vmax))
+        total_units = nb_x * nb_y
+    if ri and len(segments) < -(-total_units // ri):
         raise ValueError("truncated JPEG scan (missing restart segments)")
 
-    mcu = 0
-    seg_idx = 0
-    br = _BitReader(segments[0])
     preds = [0] * len(comps)
-    coef_lists: list[list[np.ndarray]] = [[] for _ in comps]
-    while mcu < total_mcus:
-        if ri and mcu and mcu % ri == 0:
+    eobrun = 0
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    unit = 0
+    while unit < total_units:
+        if ri and unit and unit % ri == 0:
             seg_idx += 1
             br = _BitReader(segments[seg_idx])
             preds = [0] * len(comps)
-        for ci, dc_tab, ac_tab, qt in order:
-            zz = np.zeros(64, dtype=np.int64)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for ci, dc_tab, ac_tab in members:
+                _cid, hi, vi, _tq = comps[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk = coefs[ci][my * vi + byi, mx * hi + bxi]
+                        preds[ci], eobrun = _decode_block(
+                            br, blk, dc_tab, ac_tab, preds[ci], eobrun,
+                            progressive, ss, se, ah, al,
+                        )
+        else:
+            ci, dc_tab, ac_tab = members[0]
+            by, bx = divmod(unit, nb_x)
+            blk = coefs[ci][by, bx]
+            preds[ci], eobrun = _decode_block(
+                br, blk, dc_tab, ac_tab, preds[ci], eobrun,
+                progressive, ss, se, ah, al,
+            )
+        unit += 1
+    return end
+
+
+def _decode_block(br, zz, dc_tab, ac_tab, pred, eobrun, progressive, ss, se, ah, al):
+    """Decode one 8x8 block's contribution for the current scan into `zz`
+    (a view into the coefficient store, zigzag order). Returns the updated
+    (dc prediction, eobrun)."""
+    if not progressive:
+        size = dc_tab.decode(br)
+        if size > 11:
+            raise ValueError("invalid DC size category")
+        pred += _extend(br.read_bits(size), size)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(br.read_bits(s), s)
+            k += 1
+        return pred, eobrun
+
+    if ss == 0:  # DC scan
+        if ah == 0:  # first pass
             size = dc_tab.decode(br)
             if size > 11:
                 raise ValueError("invalid DC size category")
-            diff = _extend(br.read_bits(size), size)
-            preds[ci] += diff
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = ac_tab.decode(br)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.read_bits(s), s)
-                k += 1
-            coef_lists[ci].append(zz[UNZIGZAG].reshape(8, 8) * qt)
-        mcu += 1
+            pred += _extend(br.read_bits(size), size)
+            zz[0] = pred << al
+        else:  # refinement: one raw bit
+            if br.read_bits(1):
+                zz[0] = int(zz[0]) | (1 << al)
+        return pred, eobrun
 
-    # batch IDCT per component, then reassemble planes
+    # AC scans (G.1.2.2 first pass / G.1.2.3 refinement)
+    if ah == 0:  # first pass for this band
+        if eobrun > 0:
+            return pred, eobrun - 1
+        k = ss
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return pred, eobrun
+
+    # AC refinement
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn: run includes this block
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement size category")
+                newval = p1 if br.read_bits(1) else -p1
+            # advance: correction bits on nonzero-history coefficients,
+            # count r zero-history positions
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if br.read_bits(1) and (abs(cur) & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement position overflow")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(zz[k])
+            if cur != 0:
+                if br.read_bits(1) and (abs(cur) & p1) == 0:
+                    zz[k] = cur + (p1 if cur >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return pred, eobrun
+
+
+def _reconstruct(frame, coefs, qts):
+    """Dequantize + batch IDCT + reassemble/upsample/color-convert."""
+    fh, fw, comps, _progressive = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
-        blocks = np.stack(coef_lists[ci])  # (total_mcus*hi*vi, 8, 8)
-        pixels = np.einsum("ji,ajk,kl->ail", _M, blocks, _M) + 128.0
-        bw_ = mcus_x * hi
-        bh_ = mcus_y * vi
-        # blocks are stored MCU-major, row-major within the MCU
-        plane = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
-        idx = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for byi in range(vi):
-                    for bxi in range(hi):
-                        plane[
-                            (my * vi + byi) * 8 : (my * vi + byi) * 8 + 8,
-                            (mx * hi + bxi) * 8 : (mx * hi + bxi) * 8 + 8,
-                        ] = pixels[idx]
-                        idx += 1
-        # upsample to full resolution (sample replication), crop to frame
+        if tq not in qts:
+            raise ValueError("missing quantization table")
+        qt = qts[tq].astype(np.int64)
+        grid = coefs[ci]  # (by, bx, 64) zigzag
+        by, bx = grid.shape[:2]
+        nat = grid[:, :, UNZIGZAG].reshape(by, bx, 8, 8) * qt
+        pixels = np.einsum("ji,abjk,kl->abil", _M, nat.astype(np.float64), _M) + 128.0
+        plane = pixels.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -660,3 +837,244 @@ def _decode_scan(payload, start, frame, scan_sel, qts, dc_tabs, ac_tabs, ri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive encoder
+# The Annex K baseline AC tables carry no EOBn symbols (r,0) for r=1..14 —
+# progressive scans need them, which is why real progressive encoders ship
+# custom Huffman tables in the DHT. This static table covers every symbol a
+# progressive AC scan can emit: EOB1..EOB15 runs (0x00..0xE0), ZRL (0xF0)
+# and all (run 0-15, size 1-10) pairs — 176 symbols at lengths 7/8/9
+# (Kraft sum 0.906 < 1, so the all-ones code stays unassigned as T.81
+# Annex C's table-building flow guarantees).
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]  # EOBn
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 64, 96, 16, 0, 0, 0, 0, 0, 0, 0]
+assert sum(_PROG_AC_BITS) == len(_PROG_AC_VALS) == 176
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 75, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2) with a libjpeg-style scan script:
+    interleaved DC first pass at Al=1, per-component AC first passes for
+    bands 1-5 and 6-63 at Al=1, an interleaved DC refinement, then
+    per-component AC refinements — exercising spectral selection,
+    successive approximation, EOB runs and both refinement algorithms.
+    Coefficients (and therefore fully-decoded output) are identical to
+    ``encode_jpeg`` at the same quality/subsampling."""
+    comp_blocks, hv, luma_qt, chroma_qt, mcus_x, mcus_y, color = _prepare_components(
+        img, quality, subsampling
+    )
+    a = np.asarray(img)
+    h, w = a.shape[:2]
+    ncomps = len(comp_blocks)
+    hmax = max(x for x, _ in hv)
+    vmax = max(y_ for _, y_ in hv)
+    # zigzag-ordered coefficient grids per component
+    czz = [
+        cb.reshape(cb.shape[0], cb.shape[1], 64)[:, :, ZIGZAG] for cb in comp_blocks
+    ]
+    dc_tables = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+                 _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    prog_ac = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_tables = [prog_ac, prog_ac]
+
+    def interleaved_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomps):
+                    hi, vi = hv[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            yield ci, czz[ci][my * vi + byi, mx * hi + bxi]
+
+    def comp_blocks_raster(ci):
+        hi, vi = hv[ci]
+        nb_x = -(-(w * hi) // (8 * hmax))
+        nb_y = -(-(h * vi) // (8 * vmax))
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                yield czz[ci][by, bx]
+
+    def dc_first_scan(al):
+        bw = _BitWriter()
+        preds = [0] * ncomps
+        for ci, zz in interleaved_blocks():
+            d = int(zz[0]) >> al
+            size, bits = _magnitude(d - preds[ci])
+            code, length = dc_tables[0 if ci == 0 else 1][size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            preds[ci] = d
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for _ci, zz in interleaved_blocks():
+            bw.write((int(zz[0]) >> al) & 1, 1)
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        ac = ac_tables[0 if ci == 0 else 1]
+        state = {"eobrun": 0}
+
+        def flush_eob():
+            n = state["eobrun"]
+            if n:
+                nbits = n.bit_length() - 1
+                code, length = ac[nbits << 4]
+                bw.write(code, length)
+                bw.write(n - (1 << nbits), nbits)
+                state["eobrun"] = 0
+
+        for zz in comp_blocks_raster(ci):
+            vals = [
+                (1 if int(v) >= 0 else -1) * (abs(int(v)) >> al)
+                for v in zz[ss : se + 1]
+            ]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if nz[-1] < se - ss:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci, ss, se, al):
+        """Exact mirror of the decoder's G.1.2.3 walk: correction bits for
+        nonzero-history coefficients are emitted in the positions the
+        decoder reads them (after each symbol's own bits; EOB-covered
+        blocks' bits after the flushed EOBn)."""
+        bw = _BitWriter()
+        ac = ac_tables[0 if ci == 0 else 1]
+        ah = al + 1
+        state = {"eobrun": 0, "pending": []}
+
+        def flush_eob():
+            if state["eobrun"]:
+                n = state["eobrun"]
+                nbits = n.bit_length() - 1
+                code, length = ac[nbits << 4]
+                bw.write(code, length)
+                bw.write(n - (1 << nbits), nbits)
+                state["eobrun"] = 0
+            for b in state["pending"]:
+                bw.write(b, 1)
+            state["pending"] = []
+
+        for zz in comp_blocks_raster(ci):
+            band = [int(v) for v in zz[ss : se + 1]]
+            absv = [abs(v) >> al for v in band]
+            hist = [abs(v) >> ah for v in band]
+            newsigs = [
+                i for i in range(len(band)) if hist[i] == 0 and absv[i] == 1
+            ]
+            k = 0
+            if newsigs:
+                flush_eob()
+                for ns in newsigs:
+                    r = sum(
+                        1 for j in range(k, ns) if hist[j] == 0
+                    )
+                    while r > 15:
+                        code, length = ac[0xF0]
+                        bw.write(code, length)
+                        cnt = 0
+                        while cnt < 16:
+                            if hist[k] != 0:
+                                bw.write(absv[k] & 1, 1)
+                            else:
+                                cnt += 1
+                            k += 1
+                        r -= 16
+                    code, length = ac[(r << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if band[ns] > 0 else 0, 1)
+                    while k < ns:
+                        if hist[k] != 0:
+                            bw.write(absv[k] & 1, 1)
+                        k += 1
+                    k = ns + 1
+            # trailing part of the band (or whole band if no new sigs):
+            # covered by an EOB run; history correction bits attach to it
+            if k <= se - ss or not newsigs:
+                tail_bits = [absv[j] & 1 for j in range(k, se - ss + 1) if hist[j] != 0]
+                state["eobrun"] += 1
+                state["pending"].extend(tail_bits)
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    # ----- assemble the stream
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload_) + 2) + payload_
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x01\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(luma_qt.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if color:
+        out += seg(0xDB, bytes([0x01]) + bytes(chroma_qt.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomps)
+    for ci in range(ncomps):
+        hi, vi = hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+
+    def dht(tclass, tid, bits, vals):
+        return seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    if color:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, _PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(members, ss, se, ah, al, body):
+        hdr = bytes([len(members)])
+        for ci in members:
+            hdr += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + body
+
+    all_comps = list(range(ncomps))
+    out += sos(all_comps, 0, 0, 0, 1, dc_first_scan(1))
+    for ci in all_comps:
+        out += sos([ci], 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1))
+        out += sos([ci], 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1))
+    out += sos(all_comps, 0, 0, 1, 0, dc_refine_scan(0))
+    for ci in all_comps:
+        out += sos([ci], 1, 5, 1, 0, ac_refine_scan(ci, 1, 5, 0))
+        out += sos([ci], 6, 63, 1, 0, ac_refine_scan(ci, 6, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)

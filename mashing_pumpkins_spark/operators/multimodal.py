@@ -2,12 +2,13 @@
 
 The netpbm formats (PGM ``P5`` / PPM ``P6``), PNG (all five scanline
 filters, gray/RGB/palette/alpha at 8/16-bit, DEFLATE via stdlib zlib)
-and baseline JPEG (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
-markers — jpegcodec.py) decode NATIVELY in pure numpy
+and JPEG — baseline AND progressive (Huffman + dequant + IDCT,
+4:4:4/4:2:2/4:2:0, restart markers, Annex-G successive approximation —
+jpegcodec.py) — decode NATIVELY in pure numpy
 (decode_image / decode_png / decode_jpeg), with nearest-neighbor resize
 (resize_nearest) and a decode -> resize -> featurize mapInPandas
 operator (image_summary). Codecs absent from this container
-(WebP/progressive JPEG/MP3/MP4) raise NotImplementedError from the same
+(WebP/MP3/MP4) raise NotImplementedError from the same
 decode entry points — wire PIL/turbojpeg/ffmpeg there at deploy time;
 the Spark plumbing (schema, Arrow batch shape, bounded batches,
 null-safe error rows) is identical.
@@ -246,10 +247,10 @@ def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image in pure numpy: netpbm (PGM ``P5`` -> HxW,
     PPM ``P6`` -> HxWx3; 8-bit or 16-bit big-endian), PNG (stdlib-zlib
-    DEFLATE — see decode_png) and baseline-sequential JPEG (see
-    jpegcodec.decode_jpeg) are REAL decoders with no external libraries.
-    Formats needing codecs absent from this container (WebP, progressive
-    JPEG, ...) still raise NotImplementedError from this same entry
+    DEFLATE — see decode_png) and JPEG — baseline and progressive (see
+    jpegcodec.decode_jpeg) — are REAL decoders with no external libraries.
+    Formats needing codecs absent from this container (WebP, ...)
+    still raise NotImplementedError from this same entry
     point; wire PIL/turbojpeg there at deploy time. The Spark-side
     contract either way is binary in, ndarray out."""
     if payload is None or len(payload) < 2:
@@ -264,8 +265,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if magic not in (b"P5", b"P6"):
         raise NotImplementedError(
             f"decode for format {magic!r} is stubbed in this environment; "
-            "only netpbm P5/P6, PNG and baseline JPEG decode natively — "
-            "wire PIL/turbojpeg for WebP/progressive-JPEG here"
+            "only netpbm P5/P6, PNG and JPEG (baseline + progressive) decode "
+            "natively — wire PIL/ffmpeg for WebP/video here"
         )
     # header: magic, then 3 ASCII ints (width height maxval) separated by
     # whitespace, '#' comments running to end-of-line, then ONE whitespace

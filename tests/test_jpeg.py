@@ -117,10 +117,15 @@ def test_error_contract():
     good = bytearray(encode_jpeg(np.full((8, 8), 9, np.uint8)))
     with pytest.raises(ValueError):
         decode_jpeg(bytes(good[: len(good) // 2]))  # truncated
-    # progressive (SOF2) must raise NotImplementedError, not ValueError
+    # arithmetic coding (SOF9) must raise NotImplementedError, not ValueError
     sof0 = bytes(good).find(b"\xff\xc0")
+    arith = bytes(good[:sof0]) + b"\xff\xc9" + bytes(good[sof0 + 2 :])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
+    # a baseline scan relabeled SOF2 is a MALFORMED progressive file
+    # (sequential Ss=0,Se=63 is illegal for a progressive DC scan)
     prog = bytes(good[:sof0]) + b"\xff\xc2" + bytes(good[sof0 + 2 :])
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
     # non-interleaved multi-scan (SOS covering fewer components than the
     # frame) is NotImplementedError too, decided before entropy decode
@@ -269,3 +274,91 @@ def test_image_summary_handles_jpeg_payloads(spark):
     assert out["j"]["height"] == 16 and out["j"]["width"] == 16
     assert abs(out["j"]["mean_intensity"] - 50.0) < 1e-9
     assert out["bad"]["height"] is None
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — Annex G spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _prog_cases():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(4, 5))
+    uniform = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    noisy = rng.integers(0, 256, size=(40, 56)).astype(np.uint8)
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.rint(0.5 * x[None, :] + 0.5 * x[:, None]), 0, 255).astype(
+        np.uint8
+    )
+    rgb = rng.integers(0, 256, size=(37, 43, 3)).astype(np.uint8)
+    return uniform, noisy, grad, rgb
+
+
+@pytest.mark.parametrize(
+    "case,quality,sub",
+    [
+        ("uniform", 75, "4:4:4"),
+        ("noisy", 80, "4:4:4"),
+        ("noisy", 10, "4:4:4"),  # huge quantizers -> long EOB runs
+        ("grad", 90, "4:4:4"),
+        ("rgb", 85, "4:2:0"),
+        ("rgb", 70, "4:4:4"),
+    ],
+)
+def test_progressive_decodes_identical_to_baseline(case, quality, sub):
+    """The progressive scan script re-encodes the SAME quantized
+    coefficients, so full progressive decode must be pixel-identical to
+    the baseline decode — any drift means a bug in one of the four Annex G
+    scan algorithms (DC/AC x first/refinement) or in EOB-run handling."""
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    uniform, noisy, grad, rgb = _prog_cases()
+    img = {"uniform": uniform, "noisy": noisy, "grad": grad, "rgb": rgb}[case]
+    if img.ndim == 2:
+        sub = "4:4:4"
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsampling=sub)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_uniform_blocks_still_exact_at_q75():
+    """quality-75 DC-exactness survives the progressive path (DC first at
+    Al=1 + refinement bit reassemble the full DC)."""
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    uniform, *_ = _prog_cases()
+    out = decode_jpeg(encode_jpeg_progressive(uniform, quality=75))
+    assert np.array_equal(out, uniform)
+
+
+def test_progressive_eob_runs_span_many_blocks():
+    """A mostly-flat image with one busy corner forces EOBn runs > 1
+    (whole-band skips across consecutive blocks) in both first and
+    refinement AC scans."""
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    img = np.full((64, 64), 100, dtype=np.uint8)
+    img[:8, :8] = rng.integers(0, 256, size=(8, 8))
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_stream_is_sof2_with_many_scans():
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    uniform, *_ = _prog_cases()
+    payload = encode_jpeg_progressive(uniform, quality=75)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    assert payload.count(b"\xff\xda") == 6  # 2 DC + 4 AC scans (grayscale)
+
+
+def test_decode_image_dispatches_progressive():
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg_progressive
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    img = np.full((8, 8), 42, np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg_progressive(img)), img)
