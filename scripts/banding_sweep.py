@@ -11,8 +11,9 @@ per banding config (b, r):
 
 Truth = all pairs with exact sketch Jaccard >= tau under the bit-compat
 numpy engine (the same oracle as tests/test_pipeline.py::_truth_pairs).
-The production default (16 bands x 16 rows at tau 0.8) should sit on the
-knee: near-1.0 recall at far fewer candidates than looser configs. Run:
+The production default (32 bands x 8 rows at tau 0.8 — set BY this sweep
+in round 5; the old 16x16 default's implied threshold sat above tau)
+should show ~1.0 banding recall at moderate candidate volume. Run:
 
     python scripts/banding_sweep.py [--pages 800] [--tau 0.8] \
         [--grid 8x32,16x16,32x8,64x4,32x4]
