@@ -384,10 +384,11 @@ def extract_binary_features(
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF/WAVE PCM payload (8/16-bit integer PCM) in pure
-    numpy: returns (samples as float64 in [-1, 1), shape n x channels,
-    sample_rate). Compressed audio (MP3/AAC/...) raises
-    NotImplementedError — those codecs are not in this container."""
+    """Decode a RIFF/WAVE PCM payload (8/16/24/32-bit integer PCM, or
+    IEEE-float format 3 at 32/64-bit) in pure numpy: returns (samples as
+    float64 in [-1, 1), shape n x channels, sample_rate). Compressed
+    audio (MP3/AAC/...) raises NotImplementedError — those codecs are
+    not in this container."""
     if payload is None or len(payload) < 12:
         raise ValueError("empty payload")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -410,15 +411,34 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16):
+    if (audio_format, bits) not in (
+        (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64),
+    ):
         raise NotImplementedError(f"PCM format {audio_format}/{bits}-bit unsupported")
     if channels < 1 or sample_rate < 1:
         # malformed fmt chunk: dividing by channels=0 would escape the
         # null-row contract as ZeroDivisionError and fail the Spark task
         raise ValueError(f"malformed fmt chunk: channels={channels} rate={sample_rate}")
-    if bits == 16:
+    if audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        raw = np.frombuffer(data, dtype=dt, count=len(data) // (bits // 8))
+        samples = raw.astype(np.float64)
+    elif bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         samples = raw.astype(np.float64) / 32768.0
+    elif bits == 24:  # packed little-endian signed 24-bit
+        usable = (len(data) // 3) * 3
+        b = np.frombuffer(data, dtype=np.uint8, count=usable).reshape(-1, 3)
+        raw = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+        samples = raw.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        raw = np.frombuffer(data, dtype="<i4", count=len(data) // 4)
+        samples = raw.astype(np.float64) / float(1 << 31)
     else:  # 8-bit WAV is unsigned
         raw = np.frombuffer(data, dtype=np.uint8)
         samples = (raw.astype(np.float64) - 128.0) / 128.0

@@ -380,3 +380,59 @@ def test_frame_sample_drops_whole_payload_on_mid_payload_corruption(spark):
     )
     out = frame_sample(df, every_k=1).collect()
     assert sorted((r.url, r.frame_idx) for r in out) == [("ok", 0), ("ok", 1)]
+
+
+def _wav(fmt_code, bits, channels, rate, data):
+    import struct as _struct
+
+    fmt = _struct.pack(
+        "<HHIIHH", fmt_code, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_float32_and_float64():
+    import struct as _struct
+
+    from mashing_pumpkins_spark.operators.multimodal import decode_audio
+
+    vals = [0.5, -0.25, 0.0, 0.125]
+    for bits, pack in ((32, "<4f"), (64, "<4d")):
+        payload = _wav(3, bits, 2, 48000, _struct.pack(pack, *vals))
+        samples, rate = decode_audio(payload)
+        assert rate == 48000 and samples.shape == (2, 2)
+        assert np.allclose(samples.reshape(-1), vals)
+
+
+def test_decode_wav_24_and_32_bit_int():
+    import struct as _struct
+
+    from mashing_pumpkins_spark.operators.multimodal import decode_audio
+
+    # 24-bit: values +-2^23-scaled; pack manually little-endian
+    def p24(v):
+        return int(v).to_bytes(3, "little", signed=True)
+
+    data24 = p24(1 << 22) + p24(-(1 << 22)) + p24(0) + p24((1 << 23) - 1)
+    samples, rate = decode_audio(_wav(1, 24, 1, 8000, data24))
+    assert rate == 8000
+    assert np.allclose(
+        samples.reshape(-1), [0.5, -0.5, 0.0, (2**23 - 1) / 2**23]
+    )
+    data32 = _struct.pack("<4i", 1 << 30, -(1 << 30), 0, (1 << 31) - 1)
+    samples32, _ = decode_audio(_wav(1, 32, 1, 8000, data32))
+    assert np.allclose(
+        samples32.reshape(-1), [0.5, -0.5, 0.0, (2**31 - 1) / 2**31]
+    )
+
+
+def test_decode_wav_unsupported_format_still_raises():
+    import pytest as _pytest
+
+    from mashing_pumpkins_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(_wav(85, 16, 1, 8000, b"\x00\x00"))  # MP3-in-WAV
