@@ -1,7 +1,8 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The netpbm formats (PGM ``P5`` / PPM ``P6``), PNG (all five scanline
-filters, gray/RGB/palette/alpha at 8/16-bit, DEFLATE via stdlib zlib)
+filters, gray/RGB/palette/alpha at 8/16-bit, Adam7 interlacing, DEFLATE
+via stdlib zlib)
 and JPEG — baseline AND progressive (Huffman + dequant + IDCT,
 4:4:4/4:2:2/4:2:0, restart markers, Annex-G successive approximation —
 jpegcodec.py) — decode NATIVELY in pure numpy
@@ -95,10 +96,10 @@ def _png_defilter_row(
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG in pure numpy + stdlib zlib (the PNG spec's DEFLATE
     stream needs no external codec) — the first REAL compressed format
-    behind the decode seam. Supports non-interlaced images at bit depth
-    8/16, color types 0 (gray -> HxW), 2 (RGB -> HxWx3), 3 (palette ->
-    HxWx3), 4 (gray+alpha -> HxWx2), 6 (RGBA -> HxWx4); all five scanline
-    filters. Adam7 interlacing and sub-byte depths raise
+    behind the decode seam. Supports non-interlaced AND Adam7-interlaced
+    images at bit depth 8/16, color types 0 (gray -> HxW), 2 (RGB ->
+    HxWx3), 3 (palette -> HxWx3), 4 (gray+alpha -> HxWx2), 6 (RGBA ->
+    HxWx4); all five scanline filters. Sub-byte depths raise
     NotImplementedError; structurally broken files raise ValueError.
     16-bit output keeps the big-endian view, matching the netpbm path."""
     import zlib
@@ -131,8 +132,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     depth, color, compression, filter_method, interlace = ihdr[8:13]
     if width < 1 or height < 1 or compression != 0 or filter_method != 0:
         raise ValueError("malformed IHDR")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color}")
@@ -142,7 +143,24 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG without a valid PLTE")
     bpp = channels * (depth // 8)
     stride = width * bpp
-    expected = height * (stride + 1)
+    # pass geometry: non-interlaced is a single full pass; Adam7 is the
+    # spec's 7-pass (x0, y0, dx, dy) grid, empty passes skipped
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    )
+    pass_dims = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(width - x0) // dx))
+        ph = max(0, -(-(height - y0) // dy))
+        pass_dims.append((pw, ph))
+        if pw and ph:
+            expected += ph * (pw * bpp + 1)
     try:
         # bounded inflate: the exact pixel-data size is known from IHDR, so
         # a decompression bomb (tiny IDAT inflating to GBs) is cut off at
@@ -155,12 +173,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG pixel data has wrong length")
     recon = np.empty((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        off = y * (stride + 1)
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        prior = _png_defilter_row(raw[off], line, prior, bpp)
-        recon[y] = prior
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, pass_dims):
+        if not (pw and ph):
+            continue
+        pstride = pw * bpp
+        prior = np.zeros(pstride, dtype=np.uint8)
+        byte_idx = (
+            (x0 + dx * np.arange(pw))[:, None] * bpp + np.arange(bpp)[None, :]
+        ).reshape(-1)
+        for i in range(ph):
+            line = np.frombuffer(raw, dtype=np.uint8, count=pstride, offset=off + 1)
+            prior = _png_defilter_row(raw[off], line, prior, bpp)
+            recon[y0 + i * dy, byte_idx] = prior
+            off += pstride + 1
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = recon.reshape(height, width)

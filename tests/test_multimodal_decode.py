@@ -108,38 +108,56 @@ def make_png(
     h, w = img.shape[0], img.shape[1]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     arr = img.reshape(h, w, channels)
-    if depth == 16:
-        rows = arr.astype(">u2").reshape(h, -1).view(np.uint8)
-    else:
-        rows = arr.astype(np.uint8).reshape(h, -1)
     bpp = channels * (depth // 8)
     filters = filters or [0]
+
+    def filter_rows(sub: np.ndarray) -> bytes:
+        """Filter one (sub-)image's scanlines; prior resets per call (the
+        per-pass reset Adam7 requires)."""
+        sh = sub.shape[0]
+        if depth == 16:
+            rows = sub.astype(">u2").reshape(sh, -1).view(np.uint8)
+        else:
+            rows = sub.astype(np.uint8).reshape(sh, -1)
+        body = bytearray()
+        prior = np.zeros(rows.shape[1], dtype=np.int16)
+        for y in range(sh):
+            line = rows[y].astype(np.int16)
+            f = filters[y % len(filters)]
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) if bpp <= line.size else np.zeros_like(line)
+            upleft = (
+                np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+                if bpp <= line.size
+                else np.zeros_like(line)
+            )
+            if f == 0:
+                filt = line
+            elif f == 1:
+                filt = line - left
+            elif f == 2:
+                filt = line - prior
+            elif f == 3:
+                filt = line - ((left + prior) >> 1)
+            else:  # Paeth
+                p = left + prior - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+                filt = line - pred
+            body += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+            prior = line
+        return bytes(body)
+
     out = bytearray()
-    prior = np.zeros(rows.shape[1], dtype=np.int16)
-    for y in range(h):
-        line = rows[y].astype(np.int16)
-        f = filters[y % len(filters)]
-        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) if bpp <= line.size else np.zeros_like(line)
-        upleft = (
-            np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
-            if bpp <= line.size
-            else np.zeros_like(line)
-        )
-        if f == 0:
-            filt = line
-        elif f == 1:
-            filt = line - left
-        elif f == 2:
-            filt = line - prior
-        elif f == 3:
-            filt = line - ((left + prior) >> 1)
-        else:  # Paeth
-            p = left + prior - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
-            filt = line - pred
-        out += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
-        prior = line
+    if interlace == 0:
+        out += filter_rows(arr)
+    else:  # Adam7: serialize the 7 passes, skipping empty ones
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                out += filter_rows(sub)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
     body = b"".join(
         [chunk(b"IHDR", ihdr)]
@@ -202,8 +220,10 @@ def test_decode_png_error_contract():
 
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
-    with pytest.raises(NotImplementedError):  # Adam7
-        decode_image(make_png(img, color=0, interlace=1))
+    # Adam7 decodes natively since round 5; an invalid interlace METHOD
+    # is the malformed-IHDR ValueError
+    with pytest.raises(ValueError):
+        decode_image(make_png(img, color=0, interlace=2))
     good = make_png(img, color=0)
     with pytest.raises(ValueError):  # truncated chunk
         decode_png(good[:30])
@@ -392,6 +412,38 @@ def _wav(fmt_code, bits, channels, rate, data):
     body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
     body += b"data" + _struct.pack("<I", len(data)) + data
     return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize(
+    "shape,color,channels,depth",
+    [
+        ((13, 11), 0, 1, 8),   # gray, both odd dims (exercises empty-ish passes)
+        ((9, 16, 3), 2, 3, 8),
+        ((7, 5), 0, 1, 16),
+        ((4, 3, 4), 6, 4, 8),  # smaller than one 8x8 Adam7 tile
+        ((1, 1), 0, 1, 8),     # single pixel: only pass 1 is nonempty
+    ],
+)
+def test_decode_png_adam7_interlaced(shape, color, channels, depth):
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(sum(shape))
+    hi = 65536 if depth == 16 else 256
+    dt = np.uint16 if depth == 16 else np.uint8
+    img = rng.integers(0, hi, shape).astype(dt)
+    payload = make_png(img, color=color, depth=depth, filters=[0, 1, 2, 3, 4], interlace=1)
+    out = decode_image(payload)
+    assert np.array_equal(np.asarray(out).astype(dt).reshape(shape), img)
+
+
+def test_decode_png_adam7_matches_noninterlaced():
+    from mashing_pumpkins_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (20, 17, 3), dtype=np.uint8)
+    seq = decode_image(make_png(img, color=2, filters=[4]))
+    i7 = decode_image(make_png(img, color=2, filters=[4], interlace=1))
+    assert np.array_equal(seq, i7)
 
 
 def test_decode_wav_float32_and_float64():
