@@ -1273,6 +1273,29 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction round-trip (BASELINE.json input_hint
+    invariant: byte-identical extracted text per url). Each doc's text is
+    rendered as a realistic HTML page (inline tags, named/decimal/hex
+    charrefs, comments, head/style/script noise, whitespace padding — all
+    deterministic) then parsed back by the stdlib-HTMLParser extractor;
+    the oracle replays the invariant straight off the text column
+    (md5(text)), the PNG/JPEG encode->decode oracle pattern. Both
+    directions are Arrow-batched pandas UDFs, no shuffle."""
+    from mashing_pumpkins_spark.operators.extraction import (
+        extraction_report,
+        rendered_html_col,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = docs.withColumn(
+        "html", rendered_html_col(F.col("text"), F.col("doc_id"))
+    )
+    return extraction_report(
+        pages, html_col="html", text_col="text", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 structural rule battery: per-rule boolean + conjunctive
     keep per doc, all pure JVM Column algebra — full SQL value oracle."""
@@ -1404,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
+        "html_extraction": q_html_extraction,
     }
 
 
@@ -2273,6 +2297,11 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
             from events group by 1, 2 order by hour, event_type
+        """,
+        "html_extraction": """
+            select doc_id, true as extract_ok, md5(text) as extract_md5,
+                   length(text)::bigint as n_chars
+            from documents order by doc_id
         """,
         "pii_scrub": r"""
             with aug as (

@@ -77,7 +77,7 @@ def _bench_corpus(n_pages: int) -> str:
     """Deterministic synthetic pages corpus, cached under the repo."""
     from mashing_pumpkins_spark.sources.synthetic import write_pages_parquet
 
-    cache = pathlib.Path(__file__).parent / ".bench_cache" / f"pages_{n_pages}"
+    cache = pathlib.Path(__file__).parent / ".bench_cache" / f"pages_v2_{n_pages}"
     marker = cache / "pages.parquet"
     if not marker.exists():
         write_pages_parquet(str(cache), n_pages, seed=42)
@@ -262,6 +262,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "ann_lsh",
         "ann_ivf",
         "events_hourly",
+        "html_extraction",
         "multimodal_features",
         # corpus-curation ops (pure JVM Column expressions)
         "passage_dedup_stats",

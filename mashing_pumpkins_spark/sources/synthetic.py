@@ -92,16 +92,22 @@ def generate_pages(
     for i in range(n_pages):
         langs.append("en" if rng.random() < 0.95 else minor[i % 3])
 
+    # Realistic page rendering: inline markup, charrefs, comments,
+    # head/script/style noise — extract_text() inverts it byte-exactly
+    # (the input_hint invariant), unlike the flat wrapper it replaces.
+    from ..operators.extraction import render_html
+
     base_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    urls = [
+        f"https://site{i % 200:04d}.example/"
+        f"{xxh64(f'path-{seed}-{i}'.encode()):016x}"
+        for i in range(n_pages)
+    ]
     rows = {
-        "url": [
-            f"https://site{i % 200:04d}.example/"
-            f"{xxh64(f'path-{seed}-{i}'.encode()):016x}"
-            for i in range(n_pages)
-        ],
+        "url": urls,
         "warc_ts": [base_ts + timedelta(seconds=137 * i) for i in range(n_pages)],
         "html": [
-            b"<html><body>" + t.encode("utf-8") + b"</body></html>" for t in texts
+            render_html(t, u, lg) for t, u, lg in zip(texts, urls, langs)
         ],
         "text": texts,
         "lang": langs,

@@ -40,14 +40,13 @@ def test_sketch_table_matches_numpy(spark, pages_df):
 
 def test_extract_text_byte_identity(spark, pages_df):
     """BASELINE.json input_hint invariant: text recovered from html is
-    byte-identical to the text column (extract stage contract)."""
+    byte-identical to the text column (extract stage contract). The html
+    column is a full rendered page (inline tags, charrefs, script/style
+    noise) — recovery goes through the real HTML extractor."""
+    from mashing_pumpkins_spark.operators.extraction import extracted_text_col
+
     bad = pages_df.where(
-        F.substring(
-            F.col("html"),
-            F.lit(13),  # len(b"<html><body>") + 1
-            F.length(F.col("html")) - F.lit(26),  # strip both wrappers
-        )
-        != F.encode(F.col("text"), "utf-8")
+        extracted_text_col(F.col("html")) != F.col("text")
     ).count()
     assert bad == 0
 
