@@ -1296,6 +1296,58 @@ def q_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest edge (the Common Crawl container format): documents are
+    rendered to HTML pages and serialized as sharded .warc.gz files
+    (per-record gzip members, warcinfo header, HTTP response framing —
+    the crawl layout), then read back DISTRIBUTED via the binaryFile +
+    mapInPandas source and parsed: WARC framing, HTTP split, text
+    extraction. The driver-side write is deterministic fixture synthesis
+    (as with the planted JPEG/PNG payloads); the operator under test is
+    the read path. Oracle replays the byte-identity invariant off the
+    text column (md5(text)) plus the planted status/timestamp arithmetic."""
+    import tempfile
+
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.extraction import (
+        extracted_text_col,
+        render_html,
+    )
+    from mashing_pumpkins_spark.sources.warc import (
+        read_warc_pages,
+        write_pages_as_warc,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    urls = "https://warc.example/doc-" + docs["doc_id"].astype(str)
+    pages = pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.to_datetime("2024-01-01", utc=True)
+            + pd.to_timedelta(docs["doc_id"] * 61, unit="s"),
+            "html": [
+                render_html(t, u) for t, u in zip(docs["text"], urls)
+            ],
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="mp_spark_warc_")
+    write_pages_as_warc(pages, out_dir, n_files=8)
+    read = read_warc_pages(spark, out_dir)
+    return (
+        read.select(
+            F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long").alias("doc_id"),
+            F.col("http_status"),
+            F.unix_timestamp("warc_ts").alias("ts_epoch"),
+            F.md5(extracted_text_col(F.col("html")).cast("binary")).alias(
+                "extract_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 structural rule battery: per-rule boolean + conjunctive
     keep per doc, all pure JVM Column algebra — full SQL value oracle."""
@@ -1428,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
         "html_extraction": q_html_extraction,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -2301,6 +2354,13 @@ def oracle_sql() -> dict[str, str]:
         "html_extraction": """
             select doc_id, true as extract_ok, md5(text) as extract_md5,
                    length(text)::bigint as n_chars
+            from documents order by doc_id
+        """,
+        "warc_roundtrip": """
+            select doc_id, 200::bigint as http_status,
+                   epoch(timestamp '2024-01-01 00:00:00+00')::bigint
+                     + doc_id * 61 as ts_epoch,
+                   md5(text) as extract_md5
             from documents order by doc_id
         """,
         "pii_scrub": r"""

@@ -1,0 +1,125 @@
+"""WARC source: framing, HTTP payload split, distributed Spark ingest."""
+
+from __future__ import annotations
+
+import gzip
+import os
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+
+from mashing_pumpkins_spark.sources.warc import (
+    _split_http,
+    build_response_record,
+    iter_warc_records,
+    read_warc_pages,
+    write_pages_as_warc,
+    write_warc,
+)
+
+
+def _pages(n=30, seed=3):
+    from mashing_pumpkins_spark.sources.synthetic import generate_pages
+
+    pages, _ = generate_pages(n, seed=seed)
+    return pages
+
+
+def test_roundtrip_gzip_members(tmp_path):
+    pages = _pages(30)
+    paths = write_pages_as_warc(pages, str(tmp_path), n_files=3)
+    got = {}
+    for p in paths:
+        with open(p, "rb") as fh:
+            for rec in iter_warc_records(fh.read()):
+                if rec["warc_type"] == "response":
+                    got[rec["url"]] = rec
+    assert len(got) == 30
+    for row in pages.to_dict("records"):
+        rec = got[row["url"]]
+        assert bytes(rec["html"]) == bytes(row["html"])
+        assert rec["http_status"] == 200
+        assert rec["warc_ts"] == row["warc_ts"].to_pydatetime()
+        assert rec["record_id"].startswith("<urn:uuid:")
+
+
+def test_roundtrip_plain_warc(tmp_path):
+    pages = _pages(8)
+    p = str(tmp_path / "f.warc")
+    n = write_warc(p, pages.to_dict("records"), gzip_per_record=False)
+    assert n == 8
+    recs = list(iter_warc_records(open(p, "rb").read()))
+    assert recs[0]["warc_type"] == "warcinfo"  # skipped by page readers
+    assert sum(1 for r in recs if r["warc_type"] == "response") == 8
+
+
+def test_record_ids_deterministic():
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    a = build_response_record("https://x.example/a", ts, b"<p>x</p>")
+    b = build_response_record("https://x.example/a", ts, b"<p>x</p>")
+    assert a == b  # no RNG anywhere in the writer
+
+
+def test_http_split_chunked_and_identity():
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    assert _split_http(chunked) == (200, b"hello world")
+    ident = b"HTTP/1.1 404 Not Found\r\nContent-Length: 3\r\n\r\nabcTRAILING"
+    assert _split_http(ident) == (404, b"abc")  # content-length trims trailers
+    raw = b"not http at all"
+    assert _split_http(raw) == (None, raw)
+
+
+def test_malformed_framing_raises():
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"GARBAGE/1.0\r\nContent-Length: 3\r\n\r\nabc"))
+    # truncated body: declared length runs past the payload
+    rec = build_response_record(
+        "https://x.example/t", datetime(2024, 1, 1, tzinfo=timezone.utc), b"<p>hi</p>"
+    )
+    with pytest.raises(ValueError):
+        list(iter_warc_records(rec[: len(rec) // 2]))
+
+
+def test_concatenated_gzip_members_stream():
+    """Common Crawl layout: each record its own gzip member; the parser
+    must stream through member boundaries."""
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    raw = b"".join(
+        gzip.compress(
+            build_response_record(f"https://x.example/{i}", ts, b"<p>b</p>"), 6, mtime=0
+        )
+        for i in range(5)
+    )
+    recs = [r for r in iter_warc_records(raw) if r["warc_type"] == "response"]
+    assert [r["url"] for r in recs] == [f"https://x.example/{i}" for i in range(5)]
+
+
+def test_spark_read_warc_pages(spark, tmp_path):
+    """Distributed ingest: sharded .warc.gz -> pages rows, byte-identical
+    html, timestamps, and the extraction invariant end-to-end."""
+    from pyspark.sql import functions as F
+
+    from mashing_pumpkins_spark.operators.extraction import extracted_text_col
+
+    pages = _pages(40, seed=9)
+    write_pages_as_warc(pages, str(tmp_path), n_files=4)
+    df = read_warc_pages(spark, str(tmp_path))
+    assert df.count() == 40
+    got = {r["url"]: r for r in df.collect()}
+    for row in pages.to_dict("records"):
+        rec = got[row["url"]]
+        assert bytes(rec["html"]) == bytes(row["html"])
+        assert rec["http_status"] == 200
+    # end-to-end: WARC -> html -> extracted text == original text column
+    texts = pages.set_index("url")["text"].to_dict()
+    ext = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", extracted_text_col(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert ext == texts
