@@ -1348,6 +1348,39 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (readability-style main-content extraction):
+    each doc is rendered as a page WITH planted link-dense boilerplate
+    (top nav, related-links sidebar, footer menu — every word anchor
+    text), then extract_main_text drops blocks at >=0.5 link density.
+    main_ok asserts the recovered main content is byte-identical to the
+    text column; had_boilerplate asserts the full extraction really
+    contained more (the menus were present and then stripped). Oracle
+    replays both invariants plus md5(text)."""
+    from mashing_pumpkins_spark.operators.extraction import (
+        extracted_text_col,
+        main_text_col,
+        rendered_boilerplate_html_col,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = docs.withColumn(
+        "html", rendered_boilerplate_html_col(F.col("text"), F.col("doc_id"))
+    )
+    inner = pages.select(
+        "doc_id",
+        "text",
+        extracted_text_col(F.col("html")).alias("_full"),
+        main_text_col(F.col("html")).alias("_main"),
+    )
+    return inner.select(
+        "doc_id",
+        (F.col("_main") == F.col("text")).alias("main_ok"),
+        (F.length("_full") > F.length("_main")).alias("had_boilerplate"),
+        F.md5(F.col("_main").cast("binary")).alias("main_md5"),
+    ).orderBy("doc_id")
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 structural rule battery: per-rule boolean + conjunctive
     keep per doc, all pure JVM Column algebra — full SQL value oracle."""
@@ -1481,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "html_extraction": q_html_extraction,
         "warc_roundtrip": q_warc_roundtrip,
+        "main_content": q_main_content,
     }
 
 
@@ -2361,6 +2395,11 @@ def oracle_sql() -> dict[str, str]:
                    epoch(timestamp '2024-01-01 00:00:00+00')::bigint
                      + doc_id * 61 as ts_epoch,
                    md5(text) as extract_md5
+            from documents order by doc_id
+        """,
+        "main_content": """
+            select doc_id, true as main_ok, true as had_boilerplate,
+                   md5(text) as main_md5
             from documents order by doc_id
         """,
         "pii_scrub": r"""

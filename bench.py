@@ -263,6 +263,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "ann_ivf",
         "events_hourly",
         "html_extraction",
+        "main_content",
         "warc_roundtrip",
         "multimodal_features",
         # corpus-curation ops (pure JVM Column expressions)

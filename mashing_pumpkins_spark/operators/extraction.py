@@ -78,21 +78,33 @@ class _TextExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._skip = 0
+        self._link_depth = 0
         self._buf: list[str] = []
+        self._link_chars = 0
+        self._total_chars = 0
         self.blocks: list[str] = []
+        #: per-block (collapsed_text, raw_link_chars, raw_total_chars) —
+        #: the raw counts drive link-density boilerplate scoring
+        self.block_stats: list[tuple[str, int, int]] = []
 
     def flush_block(self) -> None:
         if self._buf:
             s = _WS.sub(" ", "".join(self._buf)).strip()
+            link, total = self._link_chars, self._total_chars
             self._buf = []
+            self._link_chars = 0
+            self._total_chars = 0
             if s:
                 self.blocks.append(s)
+                self.block_stats.append((s, link, total))
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             if tag not in _VOID_TAGS:
                 self._skip += 1
             return
+        if tag == "a":
+            self._link_depth += 1
         if tag in _BLOCK_TAGS:
             self.flush_block()
 
@@ -101,6 +113,8 @@ class _TextExtractor(HTMLParser):
             # max() guards stray close tags in malformed markup
             self._skip = max(0, self._skip - 1)
             return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
         if tag in _BLOCK_TAGS:
             self.flush_block()
 
@@ -111,6 +125,10 @@ class _TextExtractor(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not self._skip:
             self._buf.append(data)
+            n = len(data.strip())
+            self._total_chars += n
+            if self._link_depth > 0:
+                self._link_chars += n
 
 
 def extract_text(payload) -> str:
@@ -124,6 +142,10 @@ def extract_text(payload) -> str:
     other block (documented tradeoff: the invariant targets
     whitespace-normal crawl text, not source-code fidelity).
     """
+    return "\n".join(_parse(payload).blocks)
+
+
+def _parse(payload) -> _TextExtractor:
     if payload is None:
         raise ValueError("null payload")
     if isinstance(payload, (bytes, bytearray, memoryview)):
@@ -134,7 +156,30 @@ def extract_text(payload) -> str:
     parser.feed(text)
     parser.close()
     parser.flush_block()
-    return "\n".join(parser.blocks)
+    return parser
+
+
+def extract_main_text(
+    payload,
+    max_link_density: float = 0.5,
+) -> str:
+    """Main-content extraction (readability/trafilatura-style boilerplate
+    removal): like :func:`extract_text`, but drops blocks whose
+    link-density (anchored chars / total chars, pre-collapse) reaches
+    ``max_link_density`` — nav menus, related-links sidebars, and footer
+    link rows are nearly all anchor text, while prose blocks sit far
+    below the cut. The heuristic is the classic density rule (Kohlschütter
+    et al.'s boilerplate signal reduced to its strongest single feature);
+    content blocks that are a single wall-to-wall link are
+    indistinguishable from menu items under any density rule — the
+    documented tradeoff of the entire approach."""
+    parser = _parse(payload)
+    kept = [
+        text
+        for text, link, total in parser.block_stats
+        if total == 0 or link / total < max_link_density
+    ]
+    return "\n".join(kept)
 
 
 def normalize_text(text: str) -> str:
@@ -149,10 +194,16 @@ def normalize_text(text: str) -> str:
 
 def _render_word(word: str, h: int, i: int) -> str:
     """Escape one word and deterministically decorate it with inline
-    markup / numeric charrefs the extractor must see through."""
-    if word and (h + i) % 19 == 2:
+    markup / numeric charrefs the extractor must see through.
+
+    Charref encoding is only applied to alphanumeric leading chars: HTML5
+    remaps numeric references in the C1 range (0x80-0x9F) to their
+    windows-1252 glyphs (e.g. &#142; parses as U+017D), so control chars
+    are NOT charref-inverse-safe — hypothesis found this."""
+    charref_safe = word and word[0].isalnum()
+    if charref_safe and (h + i) % 19 == 2:
         enc = f"&#{ord(word[0])};" + escape(word[1:], quote=False)
-    elif word and (h + i) % 19 == 9:
+    elif charref_safe and (h + i) % 19 == 9:
         enc = f"&#x{ord(word[0]):x};" + escape(word[1:], quote=False)
     else:
         enc = escape(word, quote=False)
@@ -166,7 +217,25 @@ def _render_word(word: str, h: int, i: int) -> str:
     return enc
 
 
-def render_html(text: str, url: str = "", lang: str = "en") -> bytes:
+_MENU_WORDS = [
+    "Home", "About", "Contact", "Archive", "Topics", "Search", "Login",
+    "Subscribe", "Privacy", "Terms", "Sitemap", "Help",
+]
+
+
+def _boilerplate_nav(h: int, n: int, cls: str) -> str:
+    """A link-dense block (menu / related-links / footer): every word is
+    anchor text, so its link density is ~1.0 and extract_main_text drops
+    the whole block."""
+    items = [
+        f'<a href="/{cls}/{(h + j) % 9973}">'
+        f"{_MENU_WORDS[(h + j) % len(_MENU_WORDS)]}</a>"
+        for j in range(n)
+    ]
+    return f'<nav class="{cls}"><ul><li>' + "</li><li>".join(items) + "</li></ul></nav>"
+
+
+def render_html(text: str, url: str = "", lang: str = "en", boilerplate: bool = False) -> bytes:
     """Deterministically render ``text`` as a realistic UTF-8 HTML page.
 
     Each ``\\n``-separated line becomes one ``<p>`` block (so extraction's
@@ -187,8 +256,11 @@ def render_html(text: str, url: str = "", lang: str = "en") -> bytes:
         "</head>",
         "<body>",
         f"<!-- rendered page {h % 99991} -->",
-        '<div class="content">',
     ]
+    if boilerplate:
+        parts.append(_boilerplate_nav(h, 5 + h % 4, "topnav"))
+        parts.append(_boilerplate_nav(h * 31 + 7, 4, "related"))
+    parts.append('<div class="content">')
     for line in text.split("\n"):
         words = line.split(" ")
         rendered: list[str] = []
@@ -204,9 +276,11 @@ def render_html(text: str, url: str = "", lang: str = "en") -> bytes:
                 sep_parts.append(" ")
             sep_parts.append(rw)
         parts.append("<p>" + "".join(sep_parts) + "</p>")
+    parts.append("</div>")
+    if boilerplate:
+        parts.append(_boilerplate_nav(h * 17 + 3, 6, "footer"))
     parts.extend(
         [
-            "</div>",
             f"<script>window.__t={h % 8191};</script>",
             "<!-- footer -->",
             "</body>",
@@ -227,6 +301,31 @@ def _extract_text_udf(payloads: pd.Series) -> pd.Series:
             out.append(extract_text(p))
         except (ValueError, UnicodeDecodeError):
             out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(StringType())
+def _extract_main_text_udf(payloads: pd.Series) -> pd.Series:
+    out = []
+    for p in payloads:
+        if p is None:
+            out.append(None)
+            continue
+        try:
+            out.append(extract_main_text(p))
+        except (ValueError, UnicodeDecodeError):
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(BinaryType())
+def _render_boilerplate_html_udf(texts: pd.Series, urls: pd.Series) -> pd.Series:
+    out = []
+    for t, u in zip(texts, urls):
+        if t is None:
+            out.append(None)
+        else:
+            out.append(render_html(t, u if u is not None else "", boilerplate=True))
     return pd.Series(out, dtype="object")
 
 
@@ -253,6 +352,21 @@ def rendered_html_col(text_col, url_col) -> Column:
     t = text_col if isinstance(text_col, Column) else F.col(text_col)
     u = url_col if isinstance(url_col, Column) else F.col(url_col)
     return _render_html_udf(t, u.cast("string"))
+
+
+def main_text_col(html_col) -> Column:
+    """Column expression: boilerplate-stripped main content (null for
+    undecodable payloads). Arrow-batched, no shuffle."""
+    col = html_col if isinstance(html_col, Column) else F.col(html_col)
+    return _extract_main_text_udf(col)
+
+
+def rendered_boilerplate_html_col(text_col, url_col) -> Column:
+    """Column expression: HTML rendering WITH planted link-dense
+    boilerplate (nav, related-links, footer) around the content."""
+    t = text_col if isinstance(text_col, Column) else F.col(text_col)
+    u = url_col if isinstance(url_col, Column) else F.col(url_col)
+    return _render_boilerplate_html_udf(t, u.cast("string"))
 
 
 def with_extracted_text(

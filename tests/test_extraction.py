@@ -165,3 +165,53 @@ def test_spark_pages_byte_identity(spark):
     rep = extraction_report(df)
     bad = rep.where(~F.col("extract_ok") | F.col("extract_ok").isNull()).count()
     assert bad == 0
+
+
+# ------------------------------------------------------- main content
+def test_main_text_drops_link_dense_blocks():
+    from mashing_pumpkins_spark.operators.extraction import extract_main_text
+
+    html = (
+        b'<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a>'
+        b"</li></ul></nav>"
+        b"<p>real prose with <a href='/x'>one link</a> inside a long sentence"
+        b" of ordinary words</p>"
+        b'<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>'
+    )
+    assert extract_main_text(html) == (
+        "real prose with one link inside a long sentence of ordinary words"
+    )
+    # threshold edge: exactly half anchored chars is dropped (>= cut)
+    half = b"<p><a href='/'>aaaa</a> bbb</p>"  # 4 link / 8 total (.5 raw)
+    assert extract_main_text(half) == ""
+    under = b"<p><a href='/'>aaa</a> bbbb</p>"  # 3 link / 8 total
+    assert extract_main_text(under) == "aaa bbbb"
+
+
+def test_boilerplate_roundtrip_and_detection():
+    from mashing_pumpkins_spark.operators.extraction import (
+        extract_main_text,
+        extract_text,
+        render_html,
+    )
+
+    t = "ordinary document words spanning enough tokens for stable density"
+    page = render_html(t, "https://x.example/d", boilerplate=True)
+    assert extract_main_text(page) == t
+    full = extract_text(page)
+    assert len(full) > len(t)  # the menus really were in the page
+    # without boilerplate both extractors agree
+    plain = render_html(t, "https://x.example/d")
+    assert extract_main_text(plain) == extract_text(plain) == t
+
+
+def test_spark_main_text_null_contract(spark):
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.extraction import main_text_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"html": [b"<p>ok words here</p>", b"\xff\xfe", None]})
+    )
+    vals = [r["m"] for r in df.select(main_text_col("html").alias("m")).collect()]
+    assert vals == ["ok words here", None, None]
