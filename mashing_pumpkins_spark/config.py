@@ -82,6 +82,14 @@ class PipelineConfig:
     # tau-set with overwhelming probability at billions of candidates)
     # raise this to 128-256; 64 keeps the join payload at 512B/side.
     prefilter_k: int = 64
+    # where document text comes from: "column" trusts the pages table's
+    # text column (the default — a crawl store that already ran extraction
+    # with the byte-identity invariant); "html" runs the native HTML
+    # extractor (operators/extraction.py) on the html column inside the
+    # extract stage, the raw-WARC ingest shape. Output-affecting (the text
+    # fed to sketching differs if the stored column ever drifts from the
+    # html), so it participates in config_hash.
+    text_source: str = "column"
 
     def config_hash(self) -> str:
         # hash EVERY field: any output-affecting config change (band_input_k

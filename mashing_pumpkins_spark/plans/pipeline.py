@@ -51,10 +51,21 @@ class RunReport:
 
 
 def extract(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """pages -> docs(url, text): null/short filtering; text byte identity is
-    preserved (the column passes through untouched — the invariant the
-    oracle comparison relies on)."""
-    return pages.select("url", "text").where(
+    """pages -> docs(url, text): null/short filtering.
+
+    text_source="column" (default) passes the stored text column through
+    untouched — the byte-identity invariant the oracle comparison relies
+    on. text_source="html" derives text by running the native HTML
+    extractor on the html column (the raw-WARC ingest shape); by the same
+    invariant both sources yield identical downstream clusters, and
+    test_pipeline_from_html_matches_text_column pins that."""
+    if cfg.text_source == "html":
+        from ..operators.extraction import extracted_text_col
+
+        docs = pages.select("url", extracted_text_col("html").alias("text"))
+    else:
+        docs = pages.select("url", "text")
+    return docs.where(
         F.col("text").isNotNull()
         & (F.octet_length(F.encode(F.col("text"), "utf-8")) >= cfg.min_doc_bytes)
     )

@@ -46,6 +46,13 @@ def main() -> None:
         "(bounds per-task input for outlier pages; 0 = off)",
     )
     ap.add_argument(
+        "--text-source",
+        default="column",
+        choices=["column", "html"],
+        help="'column' trusts the stored text column; 'html' runs the "
+        "native HTML extractor on the html column (raw-WARC ingest shape)",
+    )
+    ap.add_argument(
         "--canonical",
         default="none",
         choices=["none", "dna_rc"],
@@ -72,6 +79,7 @@ def main() -> None:
         jaccard_threshold=args.tau,
         band_group_cap=args.band_group_cap,
         shard_chunk_bytes=args.shard_chunk_bytes,
+        text_source=args.text_source,
     )
     pages = spark.read.parquet(args.pages)
     clusters, report = run_pipeline(spark, pages, cfg, args.checkpoint_dir)

@@ -203,6 +203,7 @@ def test_config_hash_covers_all_output_affecting_fields():
         PipelineConfig(jaccard_threshold=0.7),
         PipelineConfig(sketch=SketchConfig(maxsize=128)),
         PipelineConfig(shard_chunk_bytes=1 << 20),
+        PipelineConfig(text_source="html"),
     ]
     hashes = {base.config_hash()} | {v.config_hash() for v in variants}
     assert len(hashes) == 1 + len(variants), "every field must feed config_hash"
@@ -348,3 +349,21 @@ def test_cluster_quality_report_missing_hub_surfaces_not_drops(spark):
     # 00a's own member row has no signature either -> 2 auditable members
     assert r["cluster_id"] == "00a" and r["n_members"] == 2
     assert r["min_hub_jaccard"] is None and r["avg_hub_jaccard"] is None
+
+
+def test_pipeline_from_html_matches_text_column(spark, corpus, tmp_path_factory):
+    """text_source="html" runs the native HTML extractor inside the
+    extract stage; by the byte-identity invariant the clusters must equal
+    a run that trusted the stored text column (raw-WARC ingest shape)."""
+    import dataclasses
+
+    pages_pd, _ = corpus
+    pages = spark.createDataFrame(pages_pd.head(300))
+    ckpt_a = str(tmp_path_factory.mktemp("ckpt_src_col"))
+    ckpt_b = str(tmp_path_factory.mktemp("ckpt_src_html"))
+    cfg_html = dataclasses.replace(CFG, text_source="html")
+    c1, _ = run_pipeline(spark, pages, CFG, ckpt_a)
+    c2, _ = run_pipeline(spark, pages.drop("text"), cfg_html, ckpt_b)
+    a1 = sorted((r["url"], r["cluster_id"]) for r in c1.collect())
+    a2 = sorted((r["url"], r["cluster_id"]) for r in c2.collect())
+    assert a1 == a2
