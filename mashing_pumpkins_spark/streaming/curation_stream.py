@@ -42,11 +42,25 @@ def streaming_admission(
     k_hashes: int = 4,
     url_col: str = "url",
     text_col: str = "text",
+    html_input: bool = False,
+    html_col: str = "html",
 ) -> DataFrame:
     """stream(url, text) -> append stream of (url, quality_ok,
     contaminated, admitted). `benchmark` must be a STATIC DataFrame (the
     held-out eval set); its gram bloom is built on the driver at plan
-    time, exactly as decontaminate_bloom does."""
+    time, exactly as decontaminate_bloom does.
+
+    ``html_input=True`` accepts a raw-crawl stream of (url, html) and
+    derives text with the native HTML extractor first (Arrow-batched,
+    stateless — streaming-safe); undecodable payloads yield null text,
+    which the Gopher battery then rejects, so broken pages are
+    quarantined rather than admitted."""
+    if html_input:
+        from ..operators.extraction import extracted_text_col
+
+        stream = stream.select(
+            F.col(url_col), extracted_text_col(F.col(html_col)).alias(text_col)
+        )
     bc = stream.sparkSession.sparkContext.broadcast(
         bench_gram_bloom(benchmark, n, m_bits, k_hashes, text_col)
     )
@@ -54,6 +68,10 @@ def streaming_admission(
     quality = F.lit(True)
     for _name, col in gopher_rule_columns(F.col(text_col)):
         quality = quality & col
+    # null text (e.g. an undecodable html payload upstream) is never
+    # admissible — without the coalesce the null would propagate through
+    # the rule conjunction and the admitted flag
+    quality = F.coalesce(quality, F.lit(False))
     base = stream.select(
         F.col(url_col).alias("url"),
         F.col(text_col).alias("text"),
@@ -65,7 +83,9 @@ def streaming_admission(
 
         arr = bc.value
         for pdf in batches:
-            flags = bloom_contamination_flags(pdf["text"], arr, n, m_bits, k_hashes)
+            flags = bloom_contamination_flags(
+                pdf["text"].fillna(""), arr, n, m_bits, k_hashes
+            )
             out = pd.DataFrame(
                 {
                     "url": pdf["url"],

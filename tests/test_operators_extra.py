@@ -672,3 +672,49 @@ def test_streaming_admission_gate_matches_batch_operators(spark, tmp_path):
         got["dirty"]["contaminated"],
         got["junk"]["contaminated"],
     )
+
+
+def test_streaming_admission_html_input(spark, tmp_path):
+    """Raw-crawl ingest shape: a stream of (url, html) goes through the
+    native extractor before the gates; undecodable payloads are rejected,
+    and good pages gate exactly as their extracted text would."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.extraction import render_html
+    from mashing_pumpkins_spark.streaming.curation_stream import streaming_admission
+
+    stops = "the and of to is in that for with a"
+    good = (" ".join(f"word{i}" for i in range(60)) + " " + stops).strip()
+    low_quality = "too short " + stops
+    benchmark = spark.createDataFrame(
+        [(100, "bench doc holding alpha beta gamma delta epsilon zeta", "s")],
+        "doc_id long, text string, source string",
+    )
+    src = tmp_path / "stream_html_in"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "url": ["ok", "junk", "broken"],
+            "html": [
+                render_html(good, "ok", boilerplate=True),
+                render_html(low_quality, "junk"),
+                b"<p>\xff\xfe not utf8</p>",
+            ],
+        }
+    ).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("url string, html binary").parquet(str(src))
+    out = streaming_admission(stream, benchmark, n=4, m_bits=1 << 20, html_input=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admission_html_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["url"]: r for r in spark.sql("select * from admission_html_test").collect()
+    }
+    assert got["ok"]["admitted"] is True
+    assert got["junk"]["quality_ok"] is False and got["junk"]["admitted"] is False
+    assert got["broken"]["quality_ok"] is False and got["broken"]["admitted"] is False
