@@ -849,6 +849,43 @@ def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_stats(_docs(spark, sf_dir), threshold_hex="1999")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling: each source deterministically downsampled
+    to a ~40k-whitespace-token budget (rate = min(1, budget/total),
+    per-doc md5-fraction draw) — the training-mixture step that follows
+    curation. Full oracle: the rate arithmetic and the hash draw both
+    replay exactly in SQL."""
+    from mashing_pumpkins_spark.operators.corpus import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), token_budget_per_source=40_000)
+
+
+def q_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup deliverable: per page, its near-dup cluster (null if
+    none), the elected representative (longest text, url tiebreak) and
+    the KEPT flag — pages minus non-representative dup members is the
+    output corpus. Oracle: the pipeline_clusters recursive closure plus
+    a window election on document length."""
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.operators.cluster_report import finalize_dedup
+    from mashing_pumpkins_spark.plans.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"),
+        F.col("text"),
+    )
+    clusters, _ = run_pipeline(
+        spark, pages, cfg, tempfile.mkdtemp(prefix="mp_spark_df_")
+    )
+    return finalize_dedup(clusters, pages)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1497,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": q_decontamination_bloom,
         "repetition_stats": q_repetition_stats,
         "hash_sample_stats": q_hash_sample_stats,
+        "mixture_sample": q_mixture_sample,
+        "dedup_final": q_dedup_final,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2176,6 +2215,68 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_docs,
                    sum((substr(md5(text), 1, 4) < '1999')::int)::bigint as n_sampled
             from documents group by source order by source
+        """,
+        # mixture sampling: the rate arithmetic (double division of two
+        # integers) and the md5-fraction draw replay exactly; hugeint sums
+        # cast ::bigint for pandas dtype parity
+        "mixture_sample": r"""
+            with toks as (
+              select source, doc_id,
+                     (case when length(trim(text)) = 0 then 0
+                           else len(string_split_regex(trim(text), '\s+')) end)::bigint as nt
+              from documents
+            ), tot as (select source, sum(nt)::bigint as total from toks group by 1),
+            flagged as (
+              select t.source, t.nt, o.total,
+                     least(1.0, 40000.0 / o.total) as rate,
+                     (('0x' || substr(md5(t.doc_id::varchar), 1, 8))::bigint
+                        / 4294967296.0 < least(1.0, 40000.0 / o.total))::int as k
+              from toks t join tot o on o.source = t.source
+            )
+            select source,
+                   count(*)::bigint as n_docs,
+                   max(total)::bigint as n_tokens,
+                   round(max(rate), 6) as rate,
+                   sum(k)::bigint as kept_docs,
+                   sum(nt * k)::bigint as kept_tokens
+            from flagged group by source order by source
+        """,
+        # dedup deliverable: the pipeline_clusters recursive closure plus a
+        # representative election (longest text, id tiebreak — lpad keeps
+        # int order == string order for the url form)
+        "dedup_final": _SHINGLES_CTE
+        + """,
+        edges as (select id_a, id_b from jac where jaccard >= 0.8),
+        sym as (select id_a u, id_b v from edges union select id_b, id_a from edges),
+        closure as (
+          with recursive walk(u, v) as (
+            select u, v from sym
+            union
+            select w.u, s.v from walk w join sym s on w.v = s.u where w.u != s.v
+          ) select * from walk
+        ),
+        labels as (
+          select u as id, least(u, min(v)) as cid from closure group by u
+        ),
+        scored as (
+          select l.id, l.cid, length(d.text) as sc
+          from labels l join documents d on d.doc_id = l.id
+        ),
+        reps as (
+          select cid, id as rep_id from (
+            select cid, id,
+                   row_number() over (partition by cid
+                                      order by sc desc, id asc) as rn
+            from scored) where rn = 1
+        )
+        select lpad(d.doc_id::varchar, 8, '0') as url,
+               lpad(s.cid::varchar, 8, '0') as cluster_id,
+               lpad(r.rep_id::varchar, 8, '0') as rep_url,
+               coalesce(d.doc_id = r.rep_id, true) as kept
+        from documents d
+        left join labels s on s.id = d.doc_id
+        left join reps r on r.cid = s.cid
+        order by url
         """,
         "curation_funnel": r"""
             with train as (select doc_id, text from documents where doc_id % 10 <> 0),

@@ -71,3 +71,51 @@ def cluster_quality_report(
         )
         .orderBy(cluster_col)
     )
+
+
+def finalize_dedup(
+    clusters: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+    cluster_col: str = "cluster_id",
+    text_col: str = "text",
+    score: Column | None = None,
+) -> DataFrame:
+    """The dedup run's actual deliverable: per page, which cluster it
+    belongs to (null if it has no near-duplicate), which member was
+    elected representative, and whether the page is KEPT. Representative
+    policy: highest score wins (default: text length — keep the fullest
+    copy), ties broken by ascending url so elections are deterministic.
+    Unclustered pages are kept with null cluster_id/rep_url.
+
+    Scale shape: scores are computed on the scan and only (url, score)
+    enters the election — text never shuffles. The election is one
+    window over cluster members (dup members are a small fraction of the
+    corpus); the final assignment is two equi-joins on url/cluster_id
+    carrying ids only. Everything is exact ANSI-SQL-replayable.
+    """
+    from pyspark.sql import Window
+
+    score_col = score if score is not None else F.length(F.col(text_col))
+    scores = pages.select(F.col(url_col), score_col.cast("bigint").alias("_sc"))
+    members = clusters.select(url_col, cluster_col).join(scores, url_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_sc").desc(), F.col(url_col).asc()
+    )
+    reps = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(cluster_col), F.col(url_col).alias("rep_url"))
+    )
+    assigned = (
+        pages.select(url_col)
+        .join(clusters.select(url_col, cluster_col), url_col, "left")
+        .join(reps, cluster_col, "left")
+    )
+    kept = F.coalesce(F.col(url_col) == F.col("rep_url"), F.lit(True))
+    return assigned.select(
+        F.col(url_col),
+        F.col(cluster_col),
+        F.col("rep_url"),
+        kept.alias("kept"),
+    ).orderBy(url_col)

@@ -525,3 +525,70 @@ def bloom_contamination_flags(texts, arr, n: int, m_bits: int, k_hashes: int):
                 flags[di] = int(hit[pos : pos + len(gs)].any())
                 pos += len(gs)
     return flags
+
+
+def _hash_fraction(key: Column) -> Column:
+    """Deterministic uniform-[0,1) value from a string key: the first 8
+    hex chars of md5 as an integer over 2^32. md5 and the hex->int
+    conversion are engine-portable (Spark `conv` == DuckDB `'0x'||...`
+    cast), so a rate comparison replays exactly in ANSI SQL."""
+    prefix = F.substring(F.md5(F.encode(key, "utf-8")), 1, 8)
+    return F.conv(prefix, 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    token_budget_per_source: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus mixture sampling to a token budget: each source
+    is downsampled at rate min(1, budget / its total whitespace tokens)
+    with a deterministic per-document hash draw, so an over-represented
+    crawl source shrinks to ~budget tokens while small sources pass
+    through whole. Returns per-source accounting
+    (group, n_docs, n_tokens, rate, kept_docs, kept_tokens).
+
+    The training-mixture step after curation: dedup/quality gates decide
+    WHAT is admissible; this decides HOW MUCH of each source enters the
+    mix (cf. the per-source weights of Pile/ROOTS-style corpora).
+
+    Scale shape: one narrow aggregate per source (token totals — map-side
+    partial, |sources| rows), broadcast back onto the scan, then one
+    stateless hash compare per row; the keep decision never shuffles
+    text and is byte-identical across runs and cluster sizes. The rate
+    division is exact IEEE double arithmetic on two integers, so any
+    engine recomputes the same comparison.
+    """
+    if token_budget_per_source <= 0:
+        raise ValueError("token_budget_per_source must be positive")
+    from ..functions.textstats import whitespace_token_count
+
+    toks = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        whitespace_token_count(F.col(text_col)).cast("bigint").alias("_nt"),
+    )
+    totals = toks.groupBy(group_col).agg(F.sum("_nt").alias("_tot"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(token_budget_per_source)) / F.col("_tot")
+    )
+    flagged = toks.join(F.broadcast(totals), group_col).select(
+        F.col(group_col),
+        F.col("_nt"),
+        F.col("_tot"),
+        rate.alias("_rate"),
+        (_hash_fraction(F.col(id_col).cast("string")) < rate).cast("int").alias("_k"),
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.first("_tot").alias("n_tokens"),
+            F.round(F.first("_rate"), 6).alias("rate"),
+            F.sum("_k").alias("kept_docs"),
+            F.sum(F.col("_nt") * F.col("_k")).alias("kept_tokens"),
+        )
+        .orderBy(group_col)
+    )

@@ -407,3 +407,42 @@ def test_gopher_battery_with_per_language_stoplists(spark):
     )["r_stop"]
     row = df.select(en_stop.alias("en"), de_stop.alias("de")).first()
     assert not row["en"] and row["de"]
+
+
+def test_mixture_sample_budget_math_and_determinism(spark):
+    """A source under budget passes whole (rate 1.0, every doc kept); an
+    over-budget source is downsampled; the draw is deterministic."""
+    from mashing_pumpkins_spark.operators.corpus import mixture_sample
+
+    small = [(i, "alpha beta gamma", "s_small") for i in range(5)]  # 15 tokens
+    big = [(100 + i, " ".join(f"w{j}" for j in range(50)), "s_big")
+           for i in range(40)]  # 2000 tokens
+    docs = _docs(spark, small + big)
+    out = mixture_sample(docs, token_budget_per_source=100).collect()
+    by = {r["source"]: r for r in out}
+    s, b = by["s_small"], by["s_big"]
+    assert s["n_tokens"] == 15 and s["rate"] == 1.0
+    assert s["kept_docs"] == 5 and s["kept_tokens"] == 15
+    assert b["n_tokens"] == 2000 and b["rate"] == 0.05
+    assert 0 <= b["kept_docs"] < 40          # downsampled, never whole
+    assert b["kept_tokens"] == b["kept_docs"] * 50
+    again = mixture_sample(docs, token_budget_per_source=100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        mixture_sample(docs, token_budget_per_source=0)
+
+
+def test_mixture_sample_rate_tracks_budget(spark):
+    """Doubling the budget doubles the capped rate; at budget >= total the
+    source passes whole."""
+    from mashing_pumpkins_spark.operators.corpus import mixture_sample
+
+    docs = _docs(
+        spark, [(i, " ".join(f"w{j}" for j in range(20)), "s") for i in range(50)]
+    )  # 1000 tokens
+    r100 = mixture_sample(docs, token_budget_per_source=100).collect()[0]
+    r200 = mixture_sample(docs, token_budget_per_source=200).collect()[0]
+    full = mixture_sample(docs, token_budget_per_source=5000).collect()[0]
+    assert r100["rate"] == 0.1 and r200["rate"] == 0.2
+    assert r100["kept_docs"] <= r200["kept_docs"]
+    assert full["rate"] == 1.0 and full["kept_docs"] == 50

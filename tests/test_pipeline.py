@@ -367,3 +367,45 @@ def test_pipeline_from_html_matches_text_column(spark, corpus, tmp_path_factory)
     a1 = sorted((r["url"], r["cluster_id"]) for r in c1.collect())
     a2 = sorted((r["url"], r["cluster_id"]) for r in c2.collect())
     assert a1 == a2
+
+
+def test_finalize_dedup_elects_longest_and_keeps_singletons(spark):
+    """Representative = longest text (url tiebreak); non-representative
+    members are dropped; unclustered pages keep null cluster/rep."""
+    from mashing_pumpkins_spark.operators.cluster_report import finalize_dedup
+
+    pages = spark.createDataFrame(
+        [
+            ("00a", "short text"),
+            ("00b", "the much longer winning text body"),
+            ("00c", "middle length here"),
+            ("00z", "an unclustered page"),
+        ],
+        "url string, text string",
+    )
+    clusters = spark.createDataFrame(
+        [("00a", "00a"), ("00b", "00a"), ("00c", "00a")],
+        "url string, cluster_id string",
+    )
+    rows = {r["url"]: r for r in finalize_dedup(clusters, pages).collect()}
+    assert rows["00b"]["kept"] and rows["00b"]["rep_url"] == "00b"
+    assert not rows["00a"]["kept"] and not rows["00c"]["kept"]
+    assert rows["00a"]["rep_url"] == "00b"
+    z = rows["00z"]
+    assert z["kept"] and z["cluster_id"] is None and z["rep_url"] is None
+    # exactly one kept member per cluster
+    kept_in_cluster = [u for u, r in rows.items() if r["cluster_id"] == "00a" and r["kept"]]
+    assert kept_in_cluster == ["00b"]
+
+
+def test_finalize_dedup_tiebreak_is_ascending_url(spark):
+    from mashing_pumpkins_spark.operators.cluster_report import finalize_dedup
+
+    pages = spark.createDataFrame(
+        [("00b", "same size"), ("00a", "same size")], "url string, text string"
+    )
+    clusters = spark.createDataFrame(
+        [("00a", "00a"), ("00b", "00a")], "url string, cluster_id string"
+    )
+    rows = {r["url"]: r for r in finalize_dedup(clusters, pages).collect()}
+    assert rows["00a"]["kept"] and not rows["00b"]["kept"]
