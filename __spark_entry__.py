@@ -851,13 +851,13 @@ def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture sampling: each source deterministically downsampled
-    to a ~40k-whitespace-token budget (rate = min(1, budget/total),
+    to a 1200-whitespace-token budget (at sf0.01 some sources exceed it and downsample, others pass whole — both branches hit the gate) (rate = min(1, budget/total),
     per-doc md5-fraction draw) — the training-mixture step that follows
     curation. Full oracle: the rate arithmetic and the hash draw both
     replay exactly in SQL."""
     from mashing_pumpkins_spark.operators.corpus import mixture_sample
 
-    return mixture_sample(_docs(spark, sf_dir), token_budget_per_source=40_000)
+    return mixture_sample(_docs(spark, sf_dir), token_budget_per_source=1_200)
 
 
 def q_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2228,9 +2228,9 @@ def oracle_sql() -> dict[str, str]:
             ), tot as (select source, sum(nt)::bigint as total from toks group by 1),
             flagged as (
               select t.source, t.nt, o.total,
-                     least(1.0, 40000.0 / o.total) as rate,
+                     least(1.0, 1200.0 / o.total) as rate,
                      (('0x' || substr(md5(t.doc_id::varchar), 1, 8))::bigint
-                        / 4294967296.0 < least(1.0, 40000.0 / o.total))::int as k
+                        / 4294967296.0 < least(1.0, 1200.0 / o.total))::int as k
               from toks t join tot o on o.source = t.source
             )
             select source,
