@@ -272,6 +272,11 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "decontamination_bloom",
         "repetition_stats",
         "hash_sample_stats",
+        "mixture_sample",
+        # dedup_final is deliberately NOT timed: like cluster_quality it
+        # re-runs the full pipeline (timed as pipeline_clusters); the
+        # election itself is one window + two ids-only joins covered by
+        # the timed window/join entries
         "curation_funnel",
         "incremental_dedup",
         # relational showcase (star-schema joins, sessionization, cube)

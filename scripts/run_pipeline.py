@@ -58,6 +58,14 @@ def main() -> None:
         choices=["none", "dna_rc"],
         help="pre-hash window canonicalization (dna_rc = MASH canonical k-mers)",
     )
+    ap.add_argument(
+        "--finalize",
+        metavar="PATH",
+        default=None,
+        help="also write the dedup deliverable (per-page cluster_id, "
+        "elected rep_url, kept flag) to PATH; downstream reads "
+        "WHERE kept for the deduplicated corpus",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,7 +92,29 @@ def main() -> None:
     pages = spark.read.parquet(args.pages)
     clusters, report = run_pipeline(spark, pages, cfg, args.checkpoint_dir)
     clusters.write.mode("overwrite").parquet(args.output)
-    print(json.dumps(report.to_dict()))
+    if args.finalize:
+        from pyspark.sql import functions as F
+
+        from mashing_pumpkins_spark.operators.cluster_report import finalize_dedup
+
+        committed = spark.read.parquet(args.output)
+        text_col = "text"
+        if cfg.text_source == "html":
+            # election scores come from payload size when text is derived
+            # downstream of raw html (avoids re-running the extractor)
+            final = finalize_dedup(
+                committed, pages, text_col="html",
+                score=F.octet_length(F.col("html")),
+            )
+        else:
+            final = finalize_dedup(committed, pages, text_col=text_col)
+        final.write.mode("overwrite").parquet(args.finalize)
+        n_kept = spark.read.parquet(args.finalize).filter("kept").count()
+        out = report.to_dict()
+        out["finalize_kept"] = n_kept
+        print(json.dumps(out))
+    else:
+        print(json.dumps(report.to_dict()))
     spark.stop()
 
 
