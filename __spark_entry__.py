@@ -886,6 +886,33 @@ def q_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_dedup(clusters, pages)
 
 
+def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (5 damped power iterations, bigint
+    micro-mass units — floor divisions instead of float drift, so the
+    result is bit-identical across engines/partitionings) over a
+    deterministic synthetic link graph: doc i links to (i*(k+2)+k) mod N
+    for k in 1..3. Production input is extract_links over the WARC
+    ingest's html column. Oracle: the identical integer recurrence
+    unrolled as chained CTEs."""
+    from mashing_pumpkins_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (F.col("k") + 2) + F.col("k")) % F.lit(n)).alias("dst"),
+        )
+    )
+    pr = pagerank(nodes, edges, n_iter=5)
+    return pr.select(F.col("id").alias("doc_id"), F.col("rank"))
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1536,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_stats": q_hash_sample_stats,
         "mixture_sample": q_mixture_sample,
         "dedup_final": q_dedup_final,
+        "pagerank_scores": q_pagerank_scores,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -1576,6 +1604,48 @@ inter as (
   from inter join ds x on x.doc_id = id_a join ds y on y.doc_id = id_b
 )
 """
+
+def _pagerank_oracle_sql(n_iter: int, damping_pct: int = 85) -> str:
+    """Unroll the exact-integer PageRank recurrence (operators/graph.py)
+    as chained DuckDB CTEs: per iteration a dangling-sum scalar, a
+    per-destination contribution aggregate, and the rank update — all
+    bigint floor arithmetic, so the replay equals the Spark loop
+    bit-for-bit."""
+    keep = 100 - damping_pct
+    base = "(1000000000000 // (select cnt from par))"
+    parts = [
+        "with nodes as (select doc_id as id from documents),",
+        "par as (select count(*)::bigint as cnt from nodes),",
+        "e as (",
+        "  select distinct src, dst from (",
+        "    select d.doc_id as src,",
+        "           (d.doc_id * (t.k + 2) + t.k) % (select cnt from par) as dst",
+        "    from documents d, unnest([1,2,3]) as t(k))",
+        "  where src <> dst",
+        "),",
+        "deg as (select src as id, count(*)::bigint as deg from e group by 1),",
+        f"r0 as (select id, {base}::bigint as r from nodes)",
+    ]
+    for i in range(n_iter):
+        parts += [
+            f", d{i} as (select coalesce(sum(r), 0)::bigint as s from r{i}",
+            "            where id not in (select id from deg))",
+            f", c{i} as (select e.dst as id, sum(rr.r // g.deg)::bigint as c",
+            f"           from e join r{i} rr on rr.id = e.src",
+            "           join deg g on g.id = e.src group by 1)",
+            f", r{i + 1} as (select nd.id,",
+            f"       (({keep} * {base}",
+            f"         + {damping_pct} * (coalesce(c.c, 0)",
+            f"            + (select s from d{i}) // (select cnt from par)))",
+            "         // 100)::bigint as r",
+            f"       from nodes nd left join c{i} c on c.id = nd.id)",
+        ]
+    parts.append(
+        f"select id as doc_id, r as rank from r{n_iter} "
+        "order by rank desc, doc_id asc"
+    )
+    return "\n".join(parts)
+
 
 _STOPWORDS_SQL = "['the','and','of','to','is','in','that','for','with','a','an','it','on','as','at','by']"
 
@@ -2216,6 +2286,11 @@ def oracle_sql() -> dict[str, str]:
                    sum((substr(md5(text), 1, 4) < '1999')::int)::bigint as n_sampled
             from documents group by source order by source
         """,
+        # exact-integer PageRank: the same bigint recurrence the operator
+        # runs, unrolled as chained CTEs (one d/c/r triple per iteration);
+        # every op is floor division on integers so the replay is
+        # bit-identical, not merely close
+        "pagerank_scores": _pagerank_oracle_sql(n_iter=5),
         # mixture sampling: the rate arithmetic (double division of two
         # integers) and the md5-fraction draw replay exactly; hugeint sums
         # cast ::bigint for pandas dtype parity

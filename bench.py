@@ -293,6 +293,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "gopher_rules",
         "source_similarity",
         "pii_scrub",
+        # link graph: 5 exact-integer power iterations, one shuffle each
+        "pagerank_scores",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a
