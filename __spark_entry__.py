@@ -913,6 +913,104 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("id").alias("doc_id"), F.col("rank"))
 
 
+def _link_pages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Deterministic raw-HTML page table for the link-graph queries: doc i
+    gets url http://doc{i}/ and two absolute outlinks (3i+1 mod N with the
+    doc's source-tag as anchor text, and the SAME target again as an
+    attribute-bearing empty anchor), one relative link, and — every 7th doc
+    — a self link. The oracles derive the expected edges from this
+    construction ARITHMETIC, independently of the regex extraction path
+    they verify."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dst = F.concat(
+        F.lit("http://doc"),
+        ((F.col("doc_id") * 3 + 1) % F.lit(n)).cast("string"),
+        F.lit("/"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        dst,
+        F.lit('">'),
+        F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string")),
+        F.lit('</a><p>filler</p><a href="'),
+        dst,
+        F.lit('" class="nav"></a><a href="/rel">rel</a>'),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('<a href="http://doc'),
+                F.col("doc_id").cast("string"),
+                F.lit('/">self</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit("/")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return pages, n
+
+
+def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph ingest + degree profile: extract_links over raw html
+    (pure JVM regexp — relative links, self links and duplicate edges
+    dropped), then per-node out/in degree zero-filled for isolated nodes.
+    Oracle derives the edge set from the page-construction arithmetic,
+    so it checks the regex path against an independent derivation."""
+    from mashing_pumpkins_spark.operators.graph import degree_stats, extract_links
+
+    pages, _ = _link_pages(spark, sf_dir)
+    edges = extract_links(pages)
+    return degree_stats(edges, pages, id_col="url").orderBy("id")
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text mining: (src, dst, anchor) triples off raw html —
+    duplicates kept (same link, two anchors = two signals), attribute-
+    bearing tags and empty anchors included, relative/self links dropped.
+    Oracle replays the construction arithmetic."""
+    from mashing_pumpkins_spark.operators.graph import extract_anchor_texts
+
+    pages, _ = _link_pages(spark, sf_dir)
+    return extract_anchor_texts(pages).orderBy("src", "dst", "anchor")
+
+
+def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction: top-5 words by an exact-integer
+    tf-idf analog — score = (tf * 1_000_000) div df where df = number of
+    sources containing the word — so the ranking is bit-identical across
+    engines (float log-idf would tie-break differently in the low bits).
+    One explode, two word-keyed aggregations, one window. At web scale
+    the df table is vocab-sized: the tf-df join shuffles on the word key
+    and AQE handles the Zipf head."""
+    from pyspark.sql.window import Window
+
+    from mashing_pumpkins_spark.operators.corpus import words_array
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(words_array(F.col("text"))).alias("w"))
+    tf = toks.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("w").agg(F.countDistinct("source").alias("df"))
+    scored = tf.join(dfreq, "w").select(
+        "source",
+        "w",
+        "tf",
+        "df",
+        F.expr("(tf * 1000000) div df").cast("long").alias("score"),
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("source", "rank", "w", "tf", "df", "score")
+        .orderBy("source", "rank")
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1564,6 +1662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "dedup_final": q_dedup_final,
         "pagerank_scores": q_pagerank_scores,
+        "link_graph_stats": q_link_graph_stats,
+        "anchor_texts": q_anchor_texts,
+        "source_keywords": q_source_keywords,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2291,6 +2392,79 @@ def oracle_sql() -> dict[str, str]:
         # every op is floor division on integers so the replay is
         # bit-identical, not merely close
         "pagerank_scores": _pagerank_oracle_sql(n_iter=5),
+        # link-graph queries: the oracles derive the expected edges from
+        # the _link_pages construction ARITHMETIC (doc i links to 3i+1
+        # mod N; self/relative links excluded), independently of the
+        # regexp extraction path they verify
+        "link_graph_stats": """
+            with par as (select count(*)::bigint as cnt from documents),
+            e as (
+              select distinct src, dst from (
+                select doc_id as src,
+                       (doc_id * 3 + 1) % (select cnt from par) as dst
+                from documents)
+              where src <> dst
+            ),
+            od as (select src as id, count(*)::bigint as c from e group by 1),
+            ind as (select dst as id, count(*)::bigint as c from e group by 1)
+            select 'http://doc' || d.doc_id || '/' as id,
+                   coalesce(od.c, 0)::bigint as out_deg,
+                   coalesce(ind.c, 0)::bigint as in_deg
+            from documents d
+            left join od on od.id = d.doc_id
+            left join ind on ind.id = d.doc_id
+            order by id
+        """,
+        "anchor_texts": """
+            with par as (select count(*)::bigint as cnt from documents),
+            l as (
+              select doc_id, source,
+                     (doc_id * 3 + 1) % (select cnt from par) as d
+              from documents
+              where (doc_id * 3 + 1) % (select cnt from par) <> doc_id
+            )
+            select src, dst, anchor from (
+              select 'http://doc' || doc_id || '/' as src,
+                     'http://doc' || d || '/' as dst,
+                     source || '-' || doc_id as anchor
+              from l
+              union all
+              select 'http://doc' || doc_id || '/',
+                     'http://doc' || d || '/', ''
+              from l
+            )
+            order by src, dst, anchor
+        """,
+        # exact-integer tf-idf analog: score = (tf * 1e6) // df on
+        # bigints, so ranking ties replay identically; tokenization
+        # byte-mirrors words_array (vocab_stats pattern)
+        "source_keywords": r"""
+            with toks as (
+              select t.source, t.w
+              from (select source,
+                           unnest(case when length(trim(text)) > 0
+                              then string_split_regex(lower(trim(text)), '\s+')
+                              else [] end) as w
+                    from documents) t
+            ),
+            tf as (select source, w, count(*)::bigint as tf
+                   from toks group by 1, 2),
+            dfq as (select w, count(distinct source)::bigint as df
+                    from toks group by 1),
+            scored as (
+              select tf.source, tf.w, tf.tf, dfq.df,
+                     ((tf.tf * 1000000) // dfq.df)::bigint as score
+              from tf join dfq using (w)
+            ),
+            ranked as (
+              select *, row_number() over
+                (partition by source order by score desc, w asc) as rank
+              from scored
+            )
+            select source, rank::bigint as rank, w, tf, df, score
+            from ranked where rank <= 5
+            order by source, rank
+        """,
         # mixture sampling: the rate arithmetic (double division of two
         # integers) and the md5-fraction draw replay exactly; hugeint sums
         # cast ::bigint for pandas dtype parity

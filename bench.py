@@ -295,6 +295,9 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "pii_scrub",
         # link graph: 5 exact-integer power iterations, one shuffle each
         "pagerank_scores",
+        "link_graph_stats",
+        "anchor_texts",
+        "source_keywords",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a

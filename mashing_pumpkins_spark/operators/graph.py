@@ -60,6 +60,75 @@ def extract_links(
     )
 
 
+_ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src, dst, anchor) triples: every absolute http(s) `<a>` element
+    with its inner text (anchor text is the classic relevance signal a
+    crawl-derived search/quality corpus mines). Pure JVM Column algebra:
+    one regexp_extract_all for the full `<a ...>text</a>` matches, then
+    per-element group extraction inside `transform` — no Python, runs at
+    scan speed next to the ingest. Nested elements inside the anchor are
+    out of scope (the `[^<]*` body stops at the first tag), matching the
+    oracle's RE2 semantics exactly.
+
+    Unlike `extract_links` this keeps duplicates: the same (src, dst)
+    link with two different anchor texts is two signals."""
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    matches = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 0)
+    pairs = F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_RE, 1).alias("dst"),
+            F.regexp_extract(m, _ANCHOR_RE, 2).alias("anchor"),
+        ),
+    )
+    return (
+        pages.select(F.col(url_col).alias("src"), F.explode(pairs).alias("p"))
+        .select("src", F.col("p.dst").alias("dst"), F.col("p.anchor").alias("anchor"))
+        .where(F.col("dst").rlike(r"^https?://"))
+        .where(F.col("dst") != F.col("src"))
+    )
+
+
+def degree_stats(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node (id, out_deg, in_deg) over `edges`, zero-filled for
+    isolated nodes — the crawl-frontier/link-prior diagnostic. Two
+    single-key aggregations + two left joins on the node id; at web
+    scale each is one shuffle on the same key and AQE coalesces the
+    post-agg sides."""
+    out_d = edges.groupBy(F.col(src_col).alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst_col).alias("id")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(out_d, "id", "left")
+        .join(in_d, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

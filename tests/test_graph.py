@@ -95,6 +95,60 @@ def test_extract_links_absolute_only_no_self_loops(spark):
     assert got == [("http://a", "http://b"), ("http://a", "https://c/i.png")]
 
 
+def test_extract_anchor_texts_keeps_duplicates_and_attrs(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://a",
+                '<a href="http://b">first</a>'
+                '<a href="http://b" class="nav" rel="x">second</a>'
+                '<a href="http://b"></a>'          # empty anchor kept
+                '<a href="/rel">rel dropped</a>'
+                '<a href="http://a">self dropped</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    from mashing_pumpkins_spark.operators.graph import extract_anchor_texts
+
+    got = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_anchor_texts(pages).collect()
+    )
+    assert got == [
+        ("http://a", "http://b", ""),
+        ("http://a", "http://b", "first"),
+        ("http://a", "http://b", "second"),
+    ]
+
+
+def test_extract_anchor_texts_nested_tag_stops_body(spark):
+    """[^<]* stops at the first nested tag: such anchors don't match
+    (documented scope), never mis-capture."""
+    pages = spark.createDataFrame(
+        [("http://a", '<a href="http://b"><b>bold</b></a><a href="http://c">ok</a>')],
+        "url string, html string",
+    )
+    from mashing_pumpkins_spark.operators.graph import extract_anchor_texts
+
+    got = [(r["dst"], r["anchor"]) for r in extract_anchor_texts(pages).collect()]
+    assert got == [("http://c", "ok")]
+
+
+def test_degree_stats_zero_fills_isolated_nodes(spark):
+    from mashing_pumpkins_spark.operators.graph import degree_stats
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["out_deg"], r["in_deg"])
+        for r in degree_stats(edges, nodes).collect()
+    }
+    assert got == {0: (2, 0), 1: (1, 1), 2: (0, 2), 3: (0, 0)}
+
+
 def test_extract_links_binary_html(spark):
     pages = spark.createDataFrame(
         [("http://a", '<a href="http://b">x</a>'.encode("utf-8"))],
