@@ -1011,6 +1011,37 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_LINE = "subscribe to our newsletter today please"
+
+
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup: keep only the first occurrence of
+    every duplicated line (>= 10 chars; shorter lines exempt). The corpus
+    has single-line docs, so the query plants line structure: first-40-chars
+    line, a short '--' separator (exempt), and either a shared boilerplate
+    line (doc_id%3==0 — dedups to ONE survivor corpus-wide) or the next 40
+    chars. Oracle replays the construction and the first-occurrence rule
+    with a window; the operator itself uses a skew-proof min(struct)
+    groupBy instead."""
+    from mashing_pumpkins_spark.operators.corpus import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit("\n--\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER_LINE)).otherwise(
+            F.substring(F.col("text"), 41, 40)
+        ),
+    )
+    out = line_dedup(docs.select("doc_id", text2.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1665,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_stats": q_link_graph_stats,
         "anchor_texts": q_anchor_texts,
         "source_keywords": q_source_keywords,
+        "line_dedup_stats": q_line_dedup_stats,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2434,6 +2466,47 @@ def oracle_sql() -> dict[str, str]:
               from l
             )
             order by src, dst, anchor
+        """,
+        # line dedup: first-occurrence rule replayed with a window (the
+        # operator uses a skew-proof min(struct) groupBy — same result)
+        "line_dedup_stats": """
+            with d2 as (
+              select doc_id,
+                     substr(text, 1, 40) || chr(10) || '--' || chr(10) ||
+                     case when doc_id % 3 = 0
+                          then 'subscribe to our newsletter today please'
+                          else substr(text, 41, 40) end as text
+              from documents
+            ),
+            lines as (
+              select doc_id, i - 1 as pos, l[i] as line
+              from (select doc_id, string_split(text, chr(10)) as l,
+                           unnest(generate_series(
+                             1, len(string_split(text, chr(10))))) as i
+                    from d2)
+            ),
+            kept as (
+              select doc_id, pos, line from lines where length(line) < 10
+              union all
+              select doc_id, pos, line from (
+                select doc_id, pos, line,
+                       row_number() over
+                         (partition by line order by doc_id, pos) as rn
+                from lines where length(line) >= 10)
+              where rn = 1
+            ),
+            reb as (
+              select doc_id, count(*)::bigint as n_kept,
+                     string_agg(line, chr(10) order by pos) as clean_text
+              from kept group by doc_id
+            ),
+            tot as (select doc_id, count(*)::bigint as n_lines
+                    from lines group by doc_id)
+            select t.doc_id, t.n_lines,
+                   coalesce(r.n_kept, 0)::bigint as n_kept,
+                   md5(coalesce(r.clean_text, '')) as clean_md5
+            from tot t left join reb r on r.doc_id = t.doc_id
+            order by t.doc_id
         """,
         # exact-integer tf-idf analog: score = (tf * 1e6) // df on
         # bigints, so ranking ties replay identically; tokenization

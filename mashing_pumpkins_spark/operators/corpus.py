@@ -592,3 +592,65 @@ def mixture_sample(
         )
         .orderBy(group_col)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """C4-style corpus-wide line deduplication: of every exact line that
+    occurs more than once anywhere in the corpus, keep only its first
+    occurrence (earliest (doc_id, position)) and drop the rest; lines
+    shorter than `min_len` characters are exempt (blank lines and short
+    structural fragments stay put). Returns one row per input doc:
+    (id, n_lines, n_kept, clean_text) with the surviving lines rejoined
+    in original order — C4 (Raffel et al. 2020) applies exactly this
+    before training; boilerplate lines ("cookie policy...") are the
+    dominant near-dup source in web text.
+
+    Scale shape: the winner per line is `min(struct(doc_id, pos))` via a
+    line-keyed groupBy — partial aggregation combines map-side, so a
+    boilerplate line occurring 10^9 times costs one row per input
+    partition in the shuffle, NOT a 10^9-row hot partition (a window
+    `row_number over (partition by line)` — the obvious formulation —
+    would funnel every occurrence of the hottest line into one task).
+    Reassembly is one groupBy on the doc id. No joins, no Python."""
+    if min_len < 0:
+        raise ValueError(f"min_len must be >= 0, got {min_len}")
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    long_ = lines.where(F.length("_line") >= min_len)
+    winners = (
+        long_.groupBy("_line")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+        .select(
+            F.col("_w._id").alias("_id"),
+            F.col("_w._pos").alias("_pos"),
+            "_line",
+        )
+    )
+    kept = lines.where(F.length("_line") < min_len).unionByName(winners)
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -446,3 +446,68 @@ def test_mixture_sample_rate_tracks_budget(spark):
     assert r100["rate"] == 0.1 and r200["rate"] == 0.2
     assert r100["kept_docs"] <= r200["kept_docs"]
     assert full["rate"] == 1.0 and full["kept_docs"] == 50
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def _ld(spark, rows, **kw):
+    from mashing_pumpkins_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in line_dedup(docs, **kw).collect()
+    }
+
+
+def test_line_dedup_keeps_first_occurrence_corpus_wide(spark):
+    boiler = "please subscribe to the newsletter"
+    got = _ld(
+        spark,
+        [
+            (0, f"unique line zero\n{boiler}"),
+            (1, f"{boiler}\nunique line one"),
+            (2, boiler),
+        ],
+    )
+    # doc 0 has the earliest (doc_id, pos) for the boiler line
+    assert got[0] == (2, 2, f"unique line zero\n{boiler}")
+    assert got[1] == (2, 1, "unique line one")
+    assert got[2] == (1, 0, "")  # all lines gone -> empty doc survives as row
+
+
+def test_line_dedup_short_lines_exempt_and_order_preserved(spark):
+    got = _ld(
+        spark,
+        [
+            (0, "--\na duplicated long line here\n--"),
+            (1, "--\na duplicated long line here"),
+        ],
+        min_len=10,
+    )
+    # '--' kept everywhere (exempt), duplicate long line kept only in doc 0,
+    # and surviving lines stay in original order
+    assert got[0] == (3, 3, "--\na duplicated long line here\n--")
+    assert got[1] == (2, 1, "--")
+
+
+def test_line_dedup_within_doc_duplicates_collapse(spark):
+    got = _ld(spark, [(5, "same long line content\nsame long line content")])
+    assert got[5] == (2, 1, "same long line content")
+
+
+def test_line_dedup_validates_min_len(spark):
+    with pytest.raises(ValueError):
+        _ld(spark, [(0, "x")], min_len=-1)
+
+
+def test_line_dedup_plan_has_no_window(spark):
+    """The winner-per-line step must stay a partial-aggregating groupBy:
+    a `row_number over (partition by line)` window would funnel every
+    occurrence of the hottest boilerplate line into one task."""
+    from mashing_pumpkins_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame([(0, "a line long enough")], "doc_id long, text string")
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
