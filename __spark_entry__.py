@@ -1042,6 +1042,32 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_unicode_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (Arrow-batched pandas UDF — Spark has no
+    NFC builtin) over text with planted decomposed forms: e+combining
+    acute and A+combining ring compose, the fi ligature stays (NFC is
+    canonical-only). Normalizing before shingling is load-bearing for
+    dedup — composed vs decomposed "café" otherwise hashes differently.
+    Oracle replays via DuckDB's utf8proc-backed nfc_normalize; unicodedata
+    parity is pinned by test."""
+    from mashing_pumpkins_spark.functions.unicode_norm import normalize_unicode
+
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"), F.lit(" cafe\u0301 \ufb01lm A\u030a")
+    )
+    d = docs.select("doc_id", planted.alias("t")).withColumn(
+        "nt", normalize_unicode(F.col("t"))
+    )
+    return d.select(
+        "doc_id",
+        (F.col("nt") != F.col("t")).cast("int").alias("changed"),
+        F.length("t").cast("bigint").alias("len_before"),
+        F.length("nt").cast("bigint").alias("len_after"),
+        F.md5(F.col("nt")).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1697,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "source_keywords": q_source_keywords,
         "line_dedup_stats": q_line_dedup_stats,
+        "unicode_normalize_stats": q_unicode_normalize_stats,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2507,6 +2534,24 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(r.clean_text, '')) as clean_md5
             from tot t left join reb r on r.doc_id = t.doc_id
             order by t.doc_id
+        """,
+        # NFC normalization: planted decomposed combining marks compose,
+        # the fi ligature survives (canonical-only); chr() builds the
+        # decomposed plant so no editor can silently re-compose the SQL
+        "unicode_normalize_stats": """
+            with planted as (
+              select doc_id,
+                     text || ' cafe' || chr(769) || ' ' || chr(64257)
+                          || 'lm A' || chr(778) as t
+              from documents
+            ),
+            n as (select doc_id, t, nfc_normalize(t) as nt from planted)
+            select doc_id,
+                   (nt <> t)::int as changed,
+                   length(t)::bigint as len_before,
+                   length(nt)::bigint as len_after,
+                   md5(nt) as norm_md5
+            from n order by doc_id
         """,
         # exact-integer tf-idf analog: score = (tf * 1e6) // df on
         # bigints, so ranking ties replay identically; tokenization

@@ -299,6 +299,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "anchor_texts",
         "source_keywords",
         "line_dedup_stats",
+        "unicode_normalize_stats",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a
