@@ -1068,6 +1068,44 @@ def q_unicode_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style URL blocklist filtering: host blocked exactly or at a
+    dot-boundary suffix (ads.src3.example.com falls under src3.example.com;
+    notsrc3.example.com does not), plus literal path-term blocking
+    ('casino'). Urls are constructed from (source, doc_id) arithmetic —
+    every 5th doc gets an 'ads.' subdomain, every 4th a casino path — and
+    the oracle re-derives the flags from that arithmetic, independently of
+    the host_of/path parsing it verifies."""
+    from mashing_pumpkins_spark.functions.urltools import url_filter_flags
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("promo/casino-bonus?x=1")).otherwise(
+            F.concat(F.lit("articles/"), F.col("doc_id").cast("string"))
+        ),
+    )
+    flags = url_filter_flags(
+        F.col("url"),
+        blocked_hosts=["src3.example.com", "src7.example.com"],
+        blocked_path_terms=["casino", "gambling"],
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            flags["host_blocked"].cast("int").alias("host_blocked"),
+            flags["path_blocked"].cast("int").alias("path_blocked"),
+            flags["blocked"].cast("int").alias("blocked"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1724,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_keywords": q_source_keywords,
         "line_dedup_stats": q_line_dedup_stats,
         "unicode_normalize_stats": q_unicode_normalize_stats,
+        "url_filter": q_url_filter,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2534,6 +2573,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(r.clean_text, '')) as clean_md5
             from tot t left join reb r on r.doc_id = t.doc_id
             order by t.doc_id
+        """,
+        # URL blocklist: flags re-derived from the (source, doc_id)
+        # construction arithmetic, not by re-parsing the url
+        "url_filter": """
+            with u as (
+              select doc_id,
+                     'http://'
+                       || case when doc_id % 5 = 0 then 'ads.' else '' end
+                       || source || '.example.com/'
+                       || case when doc_id % 4 = 0
+                               then 'promo/casino-bonus?x=1'
+                               else 'articles/' || doc_id end as url,
+                     case when doc_id % 5 = 0 then 'ads.' else '' end
+                       || source || '.example.com' as host,
+                     (source in ('src3', 'src7'))::int as host_blocked,
+                     (doc_id % 4 = 0)::int as path_blocked
+              from documents
+            )
+            select doc_id, url, host_blocked, path_blocked,
+                   greatest(host_blocked, path_blocked)::int as blocked
+            from u order by doc_id
         """,
         # NFC normalization: planted decomposed combining marks compose,
         # the fi ligature survives (canonical-only); chr() builds the

@@ -300,6 +300,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "source_keywords",
         "line_dedup_stats",
         "unicode_normalize_stats",
+        "url_filter",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a

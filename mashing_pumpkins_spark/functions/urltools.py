@@ -85,3 +85,44 @@ def host_of(url: Column) -> Column:
     return F.when(
         scheme == "", F.lit("")
     ).otherwise(F.regexp_replace(auth, r":[0-9]+$", ""))
+
+
+def url_filter_flags(
+    url: Column,
+    blocked_hosts: list[str],
+    blocked_path_terms: list[str],
+) -> Column:
+    """Struct(host_blocked, path_blocked, blocked) — UT1/adult-blocklist
+    style URL filtering, the standard pre-fetch cut in a crawl curation
+    pipeline. `blocked_hosts` matches the registrable host exactly OR as
+    a suffix at a dot boundary (blocking 'example.com' also blocks
+    'ads.example.com' but NOT 'notexample.com'); `blocked_path_terms`
+    are literal lowercase substrings of the path+query.
+
+    Pure Column algebra: list literals compile into the plan (the real
+    UT1 lists are a few MB — at that size swap the `exists` over a
+    literal array for a broadcast semi-join on host, same semantics),
+    so the filter runs at scan speed with zero Python and replays in
+    ANSI SQL."""
+    host = host_of(url)
+    h = F.lower(host)
+    hosts_arr = F.array(*[F.lit(x.lower()) for x in blocked_hosts])
+    host_blocked = F.exists(
+        hosts_arr, lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b))
+    )
+    # path+query = everything from the first '/' after the authority,
+    # fragment stripped; empty for bare-authority urls
+    rest = F.substring_index(
+        F.lower(F.regexp_replace(url, _SCHEME_RE, "")), "#", 1
+    )
+    slash = F.instr(rest, "/")
+    path = F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(
+        F.lit("")
+    )
+    terms_arr = F.array(*[F.lit(t.lower()) for t in blocked_path_terms])
+    path_blocked = F.exists(terms_arr, lambda t: F.instr(path, t) > 0)
+    return F.struct(
+        host_blocked.alias("host_blocked"),
+        path_blocked.alias("path_blocked"),
+        (host_blocked | path_blocked).alias("blocked"),
+    )

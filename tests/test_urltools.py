@@ -111,3 +111,54 @@ def test_pii_redaction_masks_and_counts(spark):
     # '+'-prefixed forms masked, the bare national number stays (documented)
     assert out[6]["n_phone"] == 1 and "2345678" not in out[6]["red"]
     assert "(415) 555-0100" in out[6]["red"]
+
+
+# ------------------------------------------------------------ url filter
+
+
+def _flags(spark, urls, hosts, terms):
+    from mashing_pumpkins_spark.functions.urltools import url_filter_flags
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url", url_filter_flags(F.col("url"), hosts, terms).alias("f")
+    ).collect()
+    return {r["url"]: (r["f"]["host_blocked"], r["f"]["path_blocked"]) for r in out}
+
+
+def test_url_filter_host_suffix_at_dot_boundary(spark):
+    got = _flags(
+        spark,
+        [
+            "http://example.com/a",           # exact
+            "http://ads.example.com/a",       # subdomain -> blocked
+            "http://notexample.com/a",        # suffix WITHOUT dot -> clean
+            "http://EXAMPLE.com:80/a",        # case + port folded by host_of
+            "http://other.org/a",
+        ],
+        hosts=["example.com"],
+        terms=[],
+    )
+    assert got["http://example.com/a"] == (True, False)
+    assert got["http://ads.example.com/a"] == (True, False)
+    assert got["http://notexample.com/a"] == (False, False)
+    assert got["http://EXAMPLE.com:80/a"] == (True, False)
+    assert got["http://other.org/a"] == (False, False)
+
+
+def test_url_filter_path_terms_not_in_host(spark):
+    got = _flags(
+        spark,
+        [
+            "http://a.com/promo/CASINO-week?ref=1",  # path term, any case
+            "http://casino.com/news",                # term in HOST only -> clean path
+            "http://a.com",                          # bare authority -> empty path
+            "http://a.com/x#casino",                 # fragment stripped -> clean
+        ],
+        hosts=[],
+        terms=["casino"],
+    )
+    assert got["http://a.com/promo/CASINO-week?ref=1"] == (False, True)
+    assert got["http://casino.com/news"] == (False, False)
+    assert got["http://a.com"] == (False, False)
+    assert got["http://a.com/x#casino"] == (False, False)
