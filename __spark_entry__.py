@@ -1106,6 +1106,42 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer segmentation (contraction suffixes,
+    space-prefixed letter/digit/punct runs, whitespace — the public gpt2
+    regex minus lookaheads so RE2 can replay it) with planted
+    contractions, punctuation and full-width digits. Value oracle hashes
+    the exact segment sequence, so any engine segmentation drift fails
+    the gate."""
+    from mashing_pumpkins_spark.functions.textstats import bpe_pretokens
+
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" it's 2026! na\u00efve caf\u00e9 \uff12\uff13"),
+    )
+    segs = bpe_pretokens(planted)
+    return docs.select(
+        "doc_id",
+        F.size(segs).cast("bigint").alias("n_pretokens"),
+        F.size(
+            F.filter(segs, lambda s: s.rlike(r"^ ?\p{L}+$"))
+        ).cast("bigint").alias("n_word_runs"),
+        F.md5(F.array_join(segs, "")).alias("seg_md5"),
+    ).orderBy("doc_id")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: per source, docs
+    laid out in id order and cut into 1000-token packs (a doc belongs
+    where its first token lands). Window cumsum per group — parallel
+    across groups; oracle replays the same integer arithmetic."""
+    from mashing_pumpkins_spark.operators.corpus import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, budget_tokens=1000)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1763,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": q_line_dedup_stats,
         "unicode_normalize_stats": q_unicode_normalize_stats,
         "url_filter": q_url_filter,
+        "bpe_pretoken_stats": q_bpe_pretoken_stats,
+        "sequence_packing": q_sequence_packing,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2573,6 +2611,53 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(r.clean_text, '')) as clean_md5
             from tot t left join reb r on r.doc_id = t.doc_id
             order by t.doc_id
+        """,
+        # gpt2 pre-tokenizer: RE2 replays the same lookahead-free regex;
+        # seg_md5 hashes the exact segment sequence (chr(31) separator),
+        # planted unicode built with chr() so the bytes are pinned
+        "bpe_pretoken_stats": r"""
+            with planted as (
+              select doc_id,
+                     text || ' it''s 2026! na' || chr(239) || 've caf'
+                          || chr(233) || ' ' || chr(65298) || chr(65299) as t
+              from documents
+            ),
+            seg as (
+              select doc_id,
+                     regexp_extract_all(t,
+                       '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                     ) as segs
+              from planted
+            )
+            select doc_id,
+                   len(segs)::bigint as n_pretokens,
+                   len(list_filter(segs,
+                       s -> regexp_matches(s, '^ ?\p{L}+$')))::bigint
+                     as n_word_runs,
+                   md5(array_to_string(segs, chr(31))) as seg_md5
+            from seg order by doc_id
+        """,
+        # concat-then-chunk packing: window cumsum replayed verbatim
+        "sequence_packing": r"""
+            with toks as (
+              select source, doc_id,
+                     (case when length(trim(text)) = 0 then 0
+                           else len(string_split_regex(trim(text), '\s+'))
+                      end)::bigint as nt
+              from documents
+            ),
+            laid as (
+              select source, doc_id, nt,
+                     (sum(nt) over (partition by source order by doc_id)
+                      - nt) // 1000 as pack
+              from toks
+            )
+            select source, pack::bigint as pack_id,
+                   count(*)::bigint as n_docs,
+                   sum(nt)::bigint as n_tokens,
+                   min(doc_id) as first_id,
+                   max(doc_id) as last_id
+            from laid group by 1, 2 order by source, pack_id
         """,
         # URL blocklist: flags re-derived from the (source, doc_id)
         # construction arithmetic, not by re-parsing the url

@@ -301,6 +301,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "line_dedup_stats",
         "unicode_normalize_stats",
         "url_filter",
+        "bpe_pretoken_stats",
+        "sequence_packing",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a

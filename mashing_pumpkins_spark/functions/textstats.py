@@ -154,3 +154,25 @@ def redact_pii(text: Column) -> Column:
     for _kind, pat, token in PII_PATTERNS:
         masked = F.regexp_replace(masked, pat, token)
     return masked
+
+
+# GPT-2-style byte-pair pre-tokenizer segmentation (Radford et al. 2019,
+# the public gpt2 regex minus lookaheads, which RE2 — the oracle engine —
+# does not support): contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, whitespace.
+# Both Java regex (Spark) and RE2 (DuckDB) resolve alternations
+# leftmost-first, so segmentation is engine-identical.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of GPT-2-style pre-token segments covering the whole string
+    (every byte lands in exactly one segment). Pre-token counts are the
+    standard training-cost estimate one step sharper than whitespace
+    token counts — punctuation and digit runs count separately, as a BPE
+    tokenizer would see them. Pure JVM regexp, scan speed."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    return F.size(bpe_pretokens(text))

@@ -654,3 +654,61 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing, concat-then-chunk: within each group,
+    documents are laid out in id order as one token stream and cut into
+    fixed `budget_tokens` blocks; a doc belongs to the pack where its
+    FIRST token lands (docs may straddle the boundary — that's the
+    actual GPT/LLaMA pretraining layout, not greedy bin packing, whose
+    sequential fill order can't parallelize). Returns one row per pack:
+    (group, pack_id, n_docs, n_tokens, first_id, last_id).
+
+    Scale shape: one window cumsum per group — parallel across groups,
+    so partition the stream by (source, shard) upstream to bound any
+    single group's window to one executor's worth; then one groupBy on
+    (group, pack). Token counts are whitespace counts (swap in
+    bpe_pretoken_count for tokenizer-faithful budgets)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.textstats import whitespace_token_count
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    toks = docs.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        whitespace_token_count(F.col(text_col)).cast("bigint").alias("_nt"),
+    )
+    w = Window.partitionBy("_g").orderBy("_id")
+    laid = toks.withColumn("_cum", F.sum("_nt").over(w)).select(
+        "_g",
+        "_id",
+        "_nt",
+        F.expr(f"(_cum - _nt) div {int(budget_tokens)}").alias("_pack"),
+    )
+    return (
+        laid.groupBy("_g", "_pack")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.min("_id").alias("first_id"),
+            F.max("_id").alias("last_id"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_pack").cast("bigint").alias("pack_id"),
+            "n_docs",
+            "n_tokens",
+            "first_id",
+            "last_id",
+        )
+        .orderBy(group_col, "pack_id")
+    )

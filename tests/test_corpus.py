@@ -511,3 +511,44 @@ def test_line_dedup_plan_has_no_window(spark):
     docs = spark.createDataFrame([(0, "a line long enough")], "doc_id long, text string")
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# -------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_concat_then_chunk_layout(spark):
+    from mashing_pumpkins_spark.operators.corpus import pack_sequences
+
+    # tokens: 4, 3, 5, 2 -> cum starts 0,4,7,12; budget 6 ->
+    # packs 0,0,1,2 (doc belongs where its FIRST token lands)
+    docs = spark.createDataFrame(
+        [
+            ("s", 0, "a b c d"),
+            ("s", 1, "e f g"),
+            ("s", 2, "h i j k l"),
+            ("s", 3, "m n"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    got = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["n_tokens"], r["first_id"], r["last_id"])
+        for r in pack_sequences(docs, budget_tokens=6).collect()
+    }
+    assert got == {
+        ("s", 0): (2, 7, 0, 1),
+        ("s", 1): (1, 5, 2, 2),
+        ("s", 2): (1, 2, 3, 3),
+    }
+
+
+def test_pack_sequences_groups_independent_and_validated(spark):
+    from mashing_pumpkins_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("a", 0, "x y"), ("b", 0, "x y")],
+        "source string, doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget_tokens=1).collect()
+    assert {(r["source"], r["pack_id"]) for r in rows} == {("a", 0), ("b", 0)}
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget_tokens=0)
