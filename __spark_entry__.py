@@ -1142,6 +1142,32 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget_tokens=1000)
 
 
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing into the per-host crawl-rules table: one body
+    per source host (wildcard section + a two-agent shared section with
+    crawl-delay), parsed with the pure-Column section-scan operator. The
+    oracle enumerates the expected (agent, directive, value, rule_pos)
+    rows directly from the body-construction layout — independent of the
+    parsing path."""
+    from mashing_pumpkins_spark.sources.robots import parse_robots
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *  # default\nDisallow: /private-"),
+            F.col("source"),
+            F.lit(
+                "\nAllow: /public\n\nUser-agent: trainbot\n"
+                "User-agent: fetchbot\nCrawl-delay: 3\nDisallow: /no-"
+            ),
+            F.col("source"),
+            F.lit("\n"),
+        ).alias("body"),
+    )
+    return parse_robots(hosts)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1801,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "bpe_pretoken_stats": q_bpe_pretoken_stats,
         "sequence_packing": q_sequence_packing,
+        "robots_rules": q_robots_rules,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2611,6 +2638,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(r.clean_text, '')) as clean_md5
             from tot t left join reb r on r.doc_id = t.doc_id
             order by t.doc_id
+        """,
+        # robots parsing: expected rows enumerated straight from the
+        # body-construction layout (line numbers are the construction's),
+        # independent of the section-scan parsing path
+        "robots_rules": """
+            with s as (select distinct source from documents),
+            r as (
+              select source || '.example.com' as host, '*' as agent,
+                     'disallow' as directive,
+                     '/private-' || source as value, 1 as rule_pos from s
+              union all
+              select source || '.example.com', '*', 'allow',
+                     '/public', 2 from s
+              union all
+              select source || '.example.com', a.agent, 'crawl-delay',
+                     '3', 6
+              from s, (values ('trainbot'), ('fetchbot')) a(agent)
+              union all
+              select source || '.example.com', a.agent, 'disallow',
+                     '/no-' || source, 7
+              from s, (values ('trainbot'), ('fetchbot')) a(agent)
+            )
+            select host, agent, directive, value, rule_pos::int as rule_pos
+            from r order by host, rule_pos, agent
         """,
         # gpt2 pre-tokenizer: RE2 replays the same lookahead-free regex;
         # seg_md5 hashes the exact segment sequence (chr(31) separator),

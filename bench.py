@@ -303,6 +303,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "url_filter",
         "bpe_pretoken_stats",
         "sequence_packing",
+        "robots_rules",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a

@@ -1,0 +1,106 @@
+"""robots.txt parsing — crawl-politeness bookkeeping for the ingest tier.
+
+A Common-Crawl-style pipeline keeps a per-host rules table (which agent
+may fetch which path prefixes, plus crawl-delay) joined against the
+frontier before fetching. This parses raw robots.txt bodies into that
+table in pure Column algebra — no Python in the hot path.
+
+Section semantics (robotstxt.org): a `User-agent:` line opens a section;
+consecutive user-agent lines share the following rules; `Allow:` /
+`Disallow:` / `Crawl-delay:` lines belong to the most recent section.
+The stateful "which section does this line belong to" scan is expressed
+as a `last(ignorenulls)` running window per host ordered by line
+position — robots bodies are tiny (a few KB), so the per-host window is
+one executor-local sort however many hosts there are; the table itself
+shuffles once on host.
+
+Comment (#...) suffixes and surrounding whitespace are stripped;
+directive names are case-insensitive; blank/unknown lines are ignored.
+The multi-user-agent-header sharing rule is handled by keeping each
+user-agent line's section OPEN until the next rule line: a rule joins
+every agent declared since the last rule (standard group semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DIRECTIVE_RE = r"^\s*([A-Za-z-]+)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) -> (host, agent, directive, value, rule_pos):
+    one row per allow/disallow/crawl-delay rule per agent it applies to,
+    `rule_pos` preserving file order (precedence is longest-match at
+    lookup time; order matters for ties in some implementations).
+    Agents are lowercased; directive is 'allow' | 'disallow' |
+    'crawl-delay'; empty-value disallow lines (allow-all) are kept with
+    value ''."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
+        F.regexp_extract("line", _DIRECTIVE_RE, 2).alias("value"),
+    ).where(F.col("directive") != "")
+    # group id: rule lines close the current agent group — a user-agent
+    # line AFTER a rule line starts a new group. Count rule lines seen so
+    # far; a user-agent line belongs to the group of rules that FOLLOW it,
+    # so its group id is the count INCLUDING itself-forward.
+    w = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    is_rule = (F.col("directive") != "user-agent").cast("int")
+    grouped = parsed.withColumn(
+        "grp", F.coalesce(F.sum(is_rule).over(w), F.lit(0))
+    )
+    agents = (
+        grouped.where(F.col("directive") == "user-agent")
+        .select(
+            "host",
+            # agents declared before a rule run share that run's group:
+            # the first rule after the agents has grp == number of rules
+            # before the agents, which equals each agent's own grp
+            F.col("grp").alias("agrp"),
+            F.lower(F.col("value")).alias("agent"),
+        )
+        .distinct()
+    )
+    rules = grouped.where(
+        F.col("directive").isin("allow", "disallow", "crawl-delay")
+    ).select(
+        "host",
+        F.col("grp").alias("rgrp"),
+        "directive",
+        "value",
+        F.col("pos").alias("rule_pos"),
+    )
+    # a rule with k prior rules in its run belongs to the agent group that
+    # opened at the run start: agents' grp == index of the run's FIRST
+    # rule. Map each rule to its run-start rule count: run_start = grp
+    # minus (consecutive rule lines immediately before it in the same
+    # run). Equivalently: the latest agent group at-or-before this rule.
+    joined = rules.join(
+        agents,
+        (rules["host"] == agents["host"]) & (agents["agrp"] <= rules["rgrp"]),
+    )
+    best = (
+        joined.withColumn(
+            "maxg",
+            F.max("agrp").over(Window.partitionBy(rules["host"], "rule_pos")),
+        )
+        .where(F.col("agrp") == F.col("maxg"))
+        .select(rules["host"], "agent", "directive", "value", "rule_pos")
+    )
+    return best.orderBy("host", "rule_pos", "agent")

@@ -1,0 +1,66 @@
+"""robots.txt parsing: section semantics, multi-agent groups, comments."""
+
+from __future__ import annotations
+
+from mashing_pumpkins_spark.sources.robots import parse_robots
+
+BODY = """# global rules
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-agent: fetchbot
+User-agent: trainbot
+Disallow: /nocrawl
+Crawl-delay: 2
+
+User-agent: greedybot
+Disallow: /
+"""
+
+
+def _rows(spark, body, host="example.com"):
+    df = spark.createDataFrame([(host, body)], "host string, body string")
+    return [
+        (r["agent"], r["directive"], r["value"])
+        for r in parse_robots(df).collect()
+    ]
+
+
+def test_sections_and_shared_agent_groups(spark):
+    got = _rows(spark, BODY)
+    assert ("*", "disallow", "/private") in got
+    assert ("*", "allow", "/private/ok") in got
+    # consecutive user-agent headers share the following rules
+    assert ("fetchbot", "disallow", "/nocrawl") in got
+    assert ("trainbot", "disallow", "/nocrawl") in got
+    assert ("fetchbot", "crawl-delay", "2") in got
+    assert ("greedybot", "disallow", "/") in got
+    # rules never leak across sections
+    assert ("*", "disallow", "/nocrawl") not in got
+    assert ("greedybot", "disallow", "/nocrawl") not in got
+
+
+def test_comments_case_and_noise_lines(spark):
+    body = (
+        "USER-AGENT: MixedBot  # trailing comment\n"
+        "disallow: /a   # comment\n"
+        "not a directive line\n"
+        "\n"
+        "Disallow: /b\n"
+    )
+    got = _rows(spark, body)
+    assert ("mixedbot", "disallow", "/a") in got
+    assert ("mixedbot", "disallow", "/b") in got
+    assert len(got) == 2
+
+
+def test_rules_before_any_agent_are_dropped(spark):
+    got = _rows(spark, "Disallow: /orphan\nUser-agent: a\nDisallow: /x\n")
+    assert got == [("a", "disallow", "/x")]
+
+
+def test_empty_disallow_kept_and_order_preserved(spark):
+    body = "User-agent: a\nDisallow:\nDisallow: /x\n"
+    got = _rows(spark, body)
+    assert got == [("a", "disallow", ""), ("a", "disallow", "/x")]
