@@ -1168,6 +1168,49 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(hosts)
 
 
+def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier admission under robots rules: parse per-host robots
+    bodies, then decide fetchability for agent 'trainbot' (exact section
+    overrides wildcard; longest path prefix wins; crawl-delay surfaced).
+    Urls and robots bodies both derive from (source, doc_id) arithmetic,
+    so the oracle recomputes the decision without parsing anything."""
+    from mashing_pumpkins_spark.sources.robots import parse_robots, robots_allowed
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *  # default\nDisallow: /private-"),
+            F.col("source"),
+            F.lit(
+                "\nAllow: /public\n\nUser-agent: trainbot\n"
+                "User-agent: fetchbot\nCrawl-delay: 3\nDisallow: /no-"
+            ),
+            F.col("source"),
+            F.lit("\n"),
+        ).alias("body"),
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/no-"), F.col("source"), F.lit("/page")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("/public/item"))
+        .otherwise(F.concat(F.lit("/private-"), F.col("source"), F.lit("/x")))
+        .alias("path"),
+    )
+    out = robots_allowed(frontier, parse_robots(hosts), "trainbot")
+    return out.select(
+        "doc_id",
+        "host",
+        "path",
+        F.col("allowed").cast("int").alias("allowed"),
+        "crawl_delay",
+    ).orderBy("doc_id")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the training split (doc_id % 10 != 0):
     quality filter -> exact dedup -> passage-dup cut -> decontamination vs
@@ -1828,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pretoken_stats": q_bpe_pretoken_stats,
         "sequence_packing": q_sequence_packing,
         "robots_rules": q_robots_rules,
+        "robots_frontier": q_robots_frontier,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2662,6 +2706,19 @@ def oracle_sql() -> dict[str, str]:
             )
             select host, agent, directive, value, rule_pos::int as rule_pos
             from r order by host, rule_pos, agent
+        """,
+        # robots frontier decision: trainbot's exact section has ONE
+        # disallow ('/no-'||source) and crawl-delay 3, so the whole
+        # decision replays as arithmetic — no parsing in the oracle
+        "robots_frontier": """
+            select doc_id,
+                   source || '.example.com' as host,
+                   case when doc_id % 3 = 0 then '/no-' || source || '/page'
+                        when doc_id % 3 = 1 then '/public/item'
+                        else '/private-' || source || '/x' end as path,
+                   (doc_id % 3 <> 0)::int as allowed,
+                   '3' as crawl_delay
+            from documents order by doc_id
         """,
         # gpt2 pre-tokenizer: RE2 replays the same lookahead-free regex;
         # seg_md5 hashes the exact segment sequence (chr(31) separator),

@@ -304,6 +304,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "bpe_pretoken_stats",
         "sequence_packing",
         "robots_rules",
+        "robots_frontier",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a

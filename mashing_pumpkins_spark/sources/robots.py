@@ -104,3 +104,67 @@ def parse_robots(
         .select(rules["host"], "agent", "directive", "value", "rule_pos")
     )
     return best.orderBy("host", "rule_pos", "agent")
+
+
+def robots_allowed(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Frontier (host, path) -> same + `allowed` boolean + `crawl_delay`
+    (string, null when unset) for `agent`, per the public robots.txt
+    precedence rules (Google/REP draft): the most specific matching
+    user-agent section wins (exact agent name beats '*'; no section at
+    all -> allowed); within it, the longest matching path prefix decides,
+    allow winning length ties; empty-value rules match nothing; no
+    matching rule -> allowed.
+
+    Scale shape: the rules table is per-host KB-sized — broadcast it;
+    one broadcast join on host, one (host, path)-keyed aggregation with
+    a max(struct) winner (map-side combinable), no window over paths."""
+    a = agent.lower()
+    r = rules.where(F.col("agent").isin(a, "*"))
+    # best available section per host: exact beats wildcard
+    sect = r.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("has_exact")
+    )
+    r_sel = r.join(F.broadcast(sect), "host").where(
+        (F.col("agent") == a)
+        == (F.col("has_exact") == 1)  # exact rules iff exact section exists
+    )
+    delays = (
+        r_sel.where(F.col("directive") == "crawl-delay")
+        .groupBy("host")
+        .agg(F.min("value").alias("crawl_delay"))
+    )
+    paths = r_sel.where(
+        F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
+    ).select("host", "directive", "value")
+    cand = frontier.join(F.broadcast(paths), "host", "left").where(
+        F.col("value").isNull()
+        | F.expr(f"startswith({path_col}, value)")
+    )
+    win = cand.groupBy(host_col, path_col).agg(
+        F.max(
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct(
+                    F.length("value").alias("l"),
+                    (F.col("directive") == "allow").cast("int").alias("a"),
+                ),
+            )
+        ).alias("best")
+    )
+    return (
+        frontier.join(win, [host_col, path_col], "left")
+        .join(F.broadcast(delays), host_col, "left")
+        .select(
+            frontier["*"],
+            (
+                F.col("best").isNull() | (F.col("best.a") == 1)
+            ).alias("allowed"),
+            "crawl_delay",
+        )
+    )

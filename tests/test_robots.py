@@ -64,3 +64,51 @@ def test_empty_disallow_kept_and_order_preserved(spark):
     body = "User-agent: a\nDisallow:\nDisallow: /x\n"
     got = _rows(spark, body)
     assert got == [("a", "disallow", ""), ("a", "disallow", "/x")]
+
+
+# ------------------------------------------------------------- lookup
+
+
+def _allowed(spark, body, paths, agent):
+    from mashing_pumpkins_spark.sources.robots import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame([("h", body)], "host string, body string")
+    frontier = spark.createDataFrame([("h", p) for p in paths], "host string, path string")
+    out = robots_allowed(frontier, parse_robots(robots), agent)
+    return {r["path"]: (r["allowed"], r["crawl_delay"]) for r in out.collect()}
+
+
+def test_robots_allowed_longest_match_allow_wins_ties(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /shop\n"
+        "Allow: /shop/sale\n"
+        "Disallow: /shop/sale\n"   # same length as allow -> allow wins
+    )
+    got = _allowed(spark, body, ["/shop/x", "/shop/sale/item", "/other"], "anybot")
+    assert got["/shop/x"] == (False, None)
+    assert got["/shop/sale/item"] == (True, None)   # longer allow overrides
+    assert got["/other"] == (True, None)
+
+
+def test_robots_allowed_exact_section_overrides_wildcard(spark):
+    body = (
+        "User-agent: *\nDisallow: /\n\n"
+        "User-agent: trainbot\nDisallow: /no\nCrawl-delay: 4\n"
+    )
+    got_train = _allowed(spark, body, ["/ok", "/no/x"], "TrainBot")
+    assert got_train["/ok"] == (True, "4")     # wildcard's Disallow:/ ignored
+    assert got_train["/no/x"] == (False, "4")
+    got_other = _allowed(spark, body, ["/ok"], "otherbot")
+    assert got_other["/ok"] == (False, None)   # falls back to wildcard
+
+
+def test_robots_allowed_no_rules_host_is_allowed(spark):
+    from mashing_pumpkins_spark.sources.robots import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame([("h", "User-agent: *\nDisallow: /x\n")],
+                                   "host string, body string")
+    frontier = spark.createDataFrame([("unknown.com", "/anything")],
+                                     "host string, path string")
+    out = robots_allowed(frontier, parse_robots(robots), "bot").collect()
+    assert out[0]["allowed"] is True and out[0]["crawl_delay"] is None
