@@ -90,6 +90,23 @@ class PipelineConfig:
     # fed to sketching differs if the stored column ever drifts from the
     # html), so it participates in config_hash.
     text_source: str = "column"
+    # Unicode normalization applied to the extracted text before any
+    # hashing: "none" (default — preserves the byte-identity invariant
+    # with a store that did its own normalization), "nfc" or "nfkc"
+    # (functions/unicode_norm.py, Arrow-batched). Composed-vs-decomposed
+    # variants of the same visible text hash to different sketches, so a
+    # raw-crawl ingest should turn this on. Output-affecting.
+    normalize: str = "none"
+    # C4-style corpus-wide line dedup inside the extract stage: lines of
+    # at least this many chars keep only their first (url, position)
+    # occurrence corpus-wide (operators/corpus.line_dedup — skew-proof
+    # min(struct) winner). 0 disables (default). Output-affecting: the
+    # text fed to sketching loses duplicated boilerplate lines — and a
+    # doc whose EVERY line is a dup (e.g. a single-line exact duplicate)
+    # is emptied and dropped by min_doc_bytes here, so it never reaches
+    # the exact-collapse stage or the finalize election: C4 ordering
+    # removes duplicated CONTENT before doc-level dedup sees it.
+    line_dedup_min_len: int = 0
 
     def config_hash(self) -> str:
         # hash EVERY field: any output-affecting config change (band_input_k

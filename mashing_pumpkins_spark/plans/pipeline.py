@@ -65,6 +65,18 @@ def extract(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         docs = pages.select("url", extracted_text_col("html").alias("text"))
     else:
         docs = pages.select("url", "text")
+    if cfg.normalize != "none":
+        from ..functions.unicode_norm import normalize_unicode
+
+        docs = docs.select(
+            "url", normalize_unicode(F.col("text"), cfg.normalize.upper()).alias("text")
+        )
+    if cfg.line_dedup_min_len > 0:
+        from ..operators.corpus import line_dedup
+
+        docs = line_dedup(
+            docs, id_col="url", min_len=cfg.line_dedup_min_len
+        ).select("url", F.col("clean_text").alias("text"))
     return docs.where(
         F.col("text").isNotNull()
         & (F.octet_length(F.encode(F.col("text"), "utf-8")) >= cfg.min_doc_bytes)

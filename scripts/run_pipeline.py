@@ -53,6 +53,20 @@ def main() -> None:
         "native HTML extractor on the html column (raw-WARC ingest shape)",
     )
     ap.add_argument(
+        "--normalize",
+        default="none",
+        choices=["none", "nfc", "nfkc"],
+        help="Unicode-normalize text before hashing (raw-crawl ingest: "
+        "composed vs decomposed variants otherwise defeat dedup)",
+    )
+    ap.add_argument(
+        "--line-dedup-min-len",
+        type=int,
+        default=0,
+        help="C4 corpus-wide line dedup inside extract: lines >= this "
+        "many chars keep only their first occurrence (0 = off)",
+    )
+    ap.add_argument(
         "--canonical",
         default="none",
         choices=["none", "dna_rc"],
@@ -88,6 +102,8 @@ def main() -> None:
         band_group_cap=args.band_group_cap,
         shard_chunk_bytes=args.shard_chunk_bytes,
         text_source=args.text_source,
+        normalize=args.normalize,
+        line_dedup_min_len=args.line_dedup_min_len,
     )
     pages = spark.read.parquet(args.pages)
     clusters, report = run_pipeline(spark, pages, cfg, args.checkpoint_dir)

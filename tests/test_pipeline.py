@@ -204,6 +204,8 @@ def test_config_hash_covers_all_output_affecting_fields():
         PipelineConfig(sketch=SketchConfig(maxsize=128)),
         PipelineConfig(shard_chunk_bytes=1 << 20),
         PipelineConfig(text_source="html"),
+        PipelineConfig(normalize="nfc"),
+        PipelineConfig(line_dedup_min_len=10),
     ]
     hashes = {base.config_hash()} | {v.config_hash() for v in variants}
     assert len(hashes) == 1 + len(variants), "every field must feed config_hash"
@@ -409,3 +411,46 @@ def test_finalize_dedup_tiebreak_is_ascending_url(spark):
     )
     rows = {r["url"]: r for r in finalize_dedup(clusters, pages).collect()}
     assert rows["00a"]["kept"] and not rows["00b"]["kept"]
+
+
+def test_pipeline_normalize_stage_collapses_nfc_twins(spark, tmp_path_factory):
+    """normalize="nfc" makes composed/decomposed twins EXACT duplicates,
+    so the exact-collapse stage clusters them."""
+    import dataclasses
+
+    body = "a long enough document body line with steady words caf"
+    pages = spark.createDataFrame(
+        [("u1", body + "\u00e9"), ("u2", body + "e\u0301")],
+        "url string, text string",
+    )
+    cfg = dataclasses.replace(CFG, normalize="nfc")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_nfc"))
+    clusters, _ = run_pipeline(spark, pages, cfg, ckpt)
+    got = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+    assert got.get("u1") is not None and got["u1"] == got["u2"]
+
+
+def test_pipeline_line_dedup_stage_strips_boiler_corpus_wide(spark):
+    """line_dedup_min_len runs C4 line dedup inside extract: a
+    boilerplate line survives in exactly one doc (earliest url), docs
+    reduced to nothing fall to the min_doc_bytes filter (line dedup
+    REMOVES duplicated content before doc-level dedup ever sees it —
+    the C4 ordering), and unique multi-line content is untouched."""
+    import dataclasses
+
+    boiler = "subscribe to our newsletter for updates today"
+    pages = spark.createDataFrame(
+        [
+            ("u1", "first unique body line of doc one\n" + boiler),
+            ("u2", "second doc unique line here\n" + boiler),
+            ("u3", boiler),  # only content is the boiler -> emptied, dropped
+        ],
+        "url string, text string",
+    )
+    from mashing_pumpkins_spark.plans.pipeline import extract
+
+    cfg = dataclasses.replace(CFG, line_dedup_min_len=10)
+    got = {r["url"]: r["text"] for r in extract(pages, cfg).collect()}
+    assert got["u1"] == "first unique body line of doc one\n" + boiler
+    assert got["u2"] == "second doc unique line here"
+    assert "u3" not in got
