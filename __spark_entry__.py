@@ -1168,6 +1168,50 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(hosts)
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-weighted crawl-budget allocation: rank the synthetic
+    link graph with exact-integer PageRank, roll rank mass up per source,
+    and split a 1M-fetch budget proportionally — all bigint floor
+    arithmetic, so the allocation replays bit-for-bit (Common Crawl
+    publishes exactly this kind of host-level centrality prior). Oracle =
+    the pagerank CTE chain + the same aggregation."""
+    from mashing_pumpkins_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (F.col("k") + 2) + F.col("k")) % F.lit(n)).alias("dst"),
+        )
+    )
+    pr = pagerank(nodes, edges, n_iter=5)
+    mass = (
+        pr.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("rank").alias("rank_mass"),
+        )
+    )
+    tot = mass.agg(F.sum("rank_mass").alias("t"))
+    return (
+        mass.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "rank_mass",
+            F.expr("(1000000 * rank_mass) div t").cast("bigint").alias("budget"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier admission under robots rules: parse per-host robots
     bodies, then decide fetchability for agent 'trainbot' (exact section
@@ -1872,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "robots_rules": q_robots_rules,
         "robots_frontier": q_robots_frontier,
+        "crawl_budget": q_crawl_budget,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -1953,6 +1998,28 @@ def _pagerank_oracle_sql(n_iter: int, damping_pct: int = 85) -> str:
         "order by rank desc, doc_id asc"
     )
     return "\n".join(parts)
+
+
+def _crawl_budget_oracle_sql(n_iter: int, total_budget: int) -> str:
+    """Per-source budget allocation over the round's PageRank fixed point:
+    the pagerank CTE chain, then group rank mass by source and split
+    `total_budget` proportionally in bigint floor arithmetic."""
+    pr = _pagerank_oracle_sql(n_iter=n_iter)
+    head = pr[: pr.rfind("select id as doc_id")]
+    return (
+        head
+        + f""", mass as (
+              select d.source, count(*)::bigint as n_docs,
+                     sum(r.r)::bigint as rank_mass
+              from r{n_iter} r join documents d on d.doc_id = r.id
+              group by d.source
+            ),
+            tot as (select sum(rank_mass)::bigint as t from mass)
+            select source, n_docs, rank_mass,
+                   (({total_budget}::bigint * rank_mass)
+                     // (select t from tot))::bigint as budget
+            from mass order by source"""
+    )
 
 
 _STOPWORDS_SQL = "['the','and','of','to','is','in','that','for','with','a','an','it','on','as','at','by']"
@@ -2599,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         # every op is floor division on integers so the replay is
         # bit-identical, not merely close
         "pagerank_scores": _pagerank_oracle_sql(n_iter=5),
+        "crawl_budget": _crawl_budget_oracle_sql(n_iter=5, total_budget=1000000),
         # link-graph queries: the oracles derive the expected edges from
         # the _link_pages construction ARITHMETIC (doc i links to 3i+1
         # mod N; self/relative links excluded), independently of the

@@ -305,6 +305,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "sequence_packing",
         "robots_rules",
         "robots_frontier",
+        "crawl_budget",
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a
