@@ -305,7 +305,9 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "sequence_packing",
         "robots_rules",
         "robots_frontier",
-        "crawl_budget",
+        # crawl_budget is deliberately NOT timed: it re-runs the full
+        # pagerank fixed point (timed as pagerank_scores) plus one
+        # aggregation already covered by the grouped-agg entries
     ]
     # credit-window discipline: one probe-driven recovery gap after the
     # (heavy) headline stage and one at the query-list midpoint, sharing a

@@ -72,6 +72,18 @@ def main() -> None:
     )
     from mashing_pumpkins_spark.functions.simhash import simhash_pairs_from_values
     from mashing_pumpkins_spark.operators.ann import embedding_near_dup_pairs_lsh
+    from mashing_pumpkins_spark.operators.corpus import line_dedup
+    from mashing_pumpkins_spark.operators.graph import degree_stats, extract_links
+
+    ld = line_dedup(pages, id_col="url", min_len=10)
+    html_pages = pages.select(
+        "url",
+        F.concat(
+            F.lit('<a href="http://x/'), F.col("url"), F.lit('">l</a>')
+        ).alias("html"),
+    )
+    links = extract_links(html_pages)
+    degrees = degree_stats(links, html_pages, id_col="url")
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb_lsh = embedding_near_dup_pairs_lsh(
@@ -166,6 +178,24 @@ def main() -> None:
             "pure-JVM array of structs; value-pair join and both member "
             "joins are hash equi-joins; exact hamming (bit_count of xor) "
             "verifies JVM-side — no Python anywhere in this operator.",
+        ),
+        (
+            "C4 line dedup (corpus-wide first-occurrence winners)",
+            ld,
+            "Check: NO Window operator anywhere — the winner per line is "
+            "min(struct(id,pos)) through paired partial/final "
+            "HashAggregates, so a boilerplate line occurring 10^9 times "
+            "combines map-side instead of funneling into one task; "
+            "reassembly is one groupBy on the doc id; no Python.",
+        ),
+        (
+            "link extraction + degree stats (raw html, scan speed)",
+            degrees,
+            "Check: extraction is regexp_extract_all+explode inside "
+            "WholeStageCodegen on the scan — no Python, no shuffle until "
+            "the distinct; degree aggregation is two single-key "
+            "HashAggregate pairs (partial before each Exchange) plus two "
+            "left joins on the node id.",
         ),
     ]
     out = [
