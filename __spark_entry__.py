@@ -886,16 +886,11 @@ def q_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_dedup(clusters, pages)
 
 
-def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-integer PageRank (5 damped power iterations, bigint
-    micro-mass units — floor divisions instead of float drift, so the
-    result is bit-identical across engines/partitionings) over a
-    deterministic synthetic link graph: doc i links to (i*(k+2)+k) mod N
-    for k in 1..3. Production input is extract_links over the WARC
-    ingest's html column. Oracle: the identical integer recurrence
-    unrolled as chained CTEs."""
-    from mashing_pumpkins_spark.operators.graph import pagerank
-
+def _pagerank_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic synthetic link graph shared by the pagerank queries
+    (and their oracles' arithmetic): doc i links to (i*(k+2)+k) mod N for
+    k in 1..3. ONE definition — the oracles derive from this arithmetic,
+    so query and oracle must never drift apart."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("id"))
@@ -909,6 +904,39 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("src") * (F.col("k") + 2) + F.col("k")) % F.lit(n)).alias("dst"),
         )
     )
+    return docs, nodes, edges
+
+
+def _robots_hosts(docs: DataFrame) -> DataFrame:
+    """Deterministic per-source robots.txt bodies shared by the robots
+    queries (wildcard section + two-agent shared section with
+    crawl-delay); the oracles enumerate expected rows from THIS layout."""
+    return docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *  # default\nDisallow: /private-"),
+            F.col("source"),
+            F.lit(
+                "\nAllow: /public\n\nUser-agent: trainbot\n"
+                "User-agent: fetchbot\nCrawl-delay: 3\nDisallow: /no-"
+            ),
+            F.col("source"),
+            F.lit("\n"),
+        ).alias("body"),
+    )
+
+
+def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (5 damped power iterations, bigint
+    micro-mass units — floor divisions instead of float drift, so the
+    result is bit-identical across engines/partitionings) over a
+    deterministic synthetic link graph: doc i links to (i*(k+2)+k) mod N
+    for k in 1..3. Production input is extract_links over the WARC
+    ingest's html column. Oracle: the identical integer recurrence
+    unrolled as chained CTEs."""
+    from mashing_pumpkins_spark.operators.graph import pagerank
+
+    _, nodes, edges = _pagerank_graph(spark, sf_dir)
     pr = pagerank(nodes, edges, n_iter=5)
     return pr.select(F.col("id").alias("doc_id"), F.col("rank"))
 
@@ -1127,7 +1155,7 @@ def q_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(segs, lambda s: s.rlike(r"^ ?\p{L}+$"))
         ).cast("bigint").alias("n_word_runs"),
-        F.md5(F.array_join(segs, "")).alias("seg_md5"),
+        F.md5(F.array_join(segs, "\x1f")).alias("seg_md5"),
     ).orderBy("doc_id")
 
 
@@ -1152,19 +1180,7 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mashing_pumpkins_spark.sources.robots import parse_robots
 
     docs = _docs(spark, sf_dir)
-    hosts = docs.select("source").distinct().select(
-        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        F.concat(
-            F.lit("User-agent: *  # default\nDisallow: /private-"),
-            F.col("source"),
-            F.lit(
-                "\nAllow: /public\n\nUser-agent: trainbot\n"
-                "User-agent: fetchbot\nCrawl-delay: 3\nDisallow: /no-"
-            ),
-            F.col("source"),
-            F.lit("\n"),
-        ).alias("body"),
-    )
+    hosts = _robots_hosts(docs)
     return parse_robots(hosts)
 
 
@@ -1177,19 +1193,7 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pagerank CTE chain + the same aggregation."""
     from mashing_pumpkins_spark.operators.graph import pagerank
 
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    nodes = docs.select(F.col("doc_id").alias("id"))
-    edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
-        )
-        .select(
-            "src",
-            ((F.col("src") * (F.col("k") + 2) + F.col("k")) % F.lit(n)).alias("dst"),
-        )
-    )
+    docs, nodes, edges = _pagerank_graph(spark, sf_dir)
     pr = pagerank(nodes, edges, n_iter=5)
     mass = (
         pr.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
@@ -1221,19 +1225,7 @@ def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mashing_pumpkins_spark.sources.robots import parse_robots, robots_allowed
 
     docs = _docs(spark, sf_dir)
-    hosts = docs.select("source").distinct().select(
-        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        F.concat(
-            F.lit("User-agent: *  # default\nDisallow: /private-"),
-            F.col("source"),
-            F.lit(
-                "\nAllow: /public\n\nUser-agent: trainbot\n"
-                "User-agent: fetchbot\nCrawl-delay: 3\nDisallow: /no-"
-            ),
-            F.col("source"),
-            F.lit("\n"),
-        ).alias("body"),
-    )
+    hosts = _robots_hosts(docs)
     frontier = docs.select(
         "doc_id",
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),

@@ -110,13 +110,20 @@ def url_filter_flags(
     host_blocked = F.exists(
         hosts_arr, lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b))
     )
-    # path+query = everything from the first '/' after the authority,
+    # path+query = everything from the first '/' OR '?' after the
+    # authority (a path-less 'http://h?page=casino' still has a query),
     # fragment stripped; empty for bare-authority urls
     rest = F.substring_index(
         F.lower(F.regexp_replace(url, _SCHEME_RE, "")), "#", 1
     )
     slash = F.instr(rest, "/")
-    path = F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(
+    qmark = F.instr(rest, "?")
+    start = (
+        F.when((slash > 0) & ((qmark == 0) | (slash < qmark)), slash)
+        .when(qmark > 0, qmark)
+        .otherwise(F.lit(0))
+    )
+    path = F.when(start > 0, rest.substr(start, F.length(rest))).otherwise(
         F.lit("")
     )
     terms_arr = F.array(*[F.lit(t.lower()) for t in blocked_path_terms])

@@ -644,7 +644,15 @@ def line_dedup(
             "\n",
         ).alias("clean_text"),
     )
-    totals = lines.groupBy("_id").agg(F.count("*").alias("n_lines"))
+    # per-doc line totals come from the UN-exploded split array — the
+    # kept-lines union already reads the exploded corpus twice (exempt
+    # branch + winners branch); a third exploded scan for a count would
+    # be pure waste, and persisting the exploded corpus to save the two
+    # scans costs more than the re-scan at the sizes this targets
+    totals = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
     return (
         totals.join(rebuilt, "_id", "left")
         .select(

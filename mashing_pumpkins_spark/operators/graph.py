@@ -160,7 +160,10 @@ def pagerank(
         raise ValueError("damping_pct must be in (0, 100)")
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    # ids is re-read inside EVERY iteration (contribution left-join and
+    # the dangling anti-join) — persist it or the node-set distinct
+    # shuffle re-executes once per eager localCheckpoint
+    ids = nodes.select(F.col(id_col).alias("id")).distinct().persist()
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -172,6 +175,7 @@ def pagerank(
     n = ids.count()
     if n == 0:
         e.unpersist()
+        ids.unpersist()
         return ids.select("id", F.lit(0).cast("bigint").alias("rank"))
     base = total_mass // n
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")).persist()
@@ -216,4 +220,5 @@ def pagerank(
     e.unpersist()
     deg.unpersist()
     dangling_ids.unpersist()
+    ids.unpersist()
     return out

@@ -23,7 +23,7 @@ every agent declared since the last rule (standard group semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -51,7 +51,13 @@ def parse_robots(
         "pos",
         F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
         F.regexp_extract("line", _DIRECTIVE_RE, 2).alias("value"),
-    ).where(F.col("directive") != "")
+    ).where(
+        # unknown directives (Sitemap:, Host:, ...) are IGNORED entirely
+        # (RFC 9309): they must not close an open user-agent group — a
+        # 'User-agent: a / Sitemap: ... / User-agent: b' run still shares
+        # the following rules between a and b
+        F.col("directive").isin("user-agent", "allow", "disallow", "crawl-delay")
+    )
     # group id: rule lines close the current agent group — a user-agent
     # line AFTER a rule line starts a new group. Count rule lines seen so
     # far; a user-agent line belongs to the group of rules that FOLLOW it,
@@ -106,6 +112,22 @@ def parse_robots(
     return best.orderBy("host", "rule_pos", "agent")
 
 
+def _rule_regex(value: Column) -> Column:
+    """RFC 9309 rule pattern -> anchored Java regex: '*' matches any
+    char run, a TRAILING '$' anchors at end of path, every other regex
+    metacharacter is literal."""
+    esc = F.regexp_replace(value, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    # a trailing '$' in the ORIGINAL value was escaped to '\$' above;
+    # restore it as an end anchor
+    anchored = value.endswith("$")
+    body = F.when(
+        anchored,
+        F.concat(wild.substr(F.lit(1), F.length(wild) - 2), F.lit("$")),
+    ).otherwise(wild)
+    return F.concat(F.lit("^"), body)
+
+
 def robots_allowed(
     frontier: DataFrame,
     rules: DataFrame,
@@ -114,12 +136,15 @@ def robots_allowed(
     path_col: str = "path",
 ) -> DataFrame:
     """Frontier (host, path) -> same + `allowed` boolean + `crawl_delay`
-    (string, null when unset) for `agent`, per the public robots.txt
-    precedence rules (Google/REP draft): the most specific matching
-    user-agent section wins (exact agent name beats '*'; no section at
-    all -> allowed); within it, the longest matching path prefix decides,
-    allow winning length ties; empty-value rules match nothing; no
-    matching rule -> allowed.
+    (string, null when unset) for `agent`, per RFC 9309 precedence: the
+    most specific matching user-agent section wins (exact agent name
+    beats '*'; no section at all -> allowed); within it, the
+    longest-pattern matching rule decides ('*' matches any char run, a
+    trailing '$' anchors at path end, specificity = octet length of the
+    raw pattern), allow winning length ties; empty-value rules match
+    nothing; no matching rule -> allowed. crawl_delay is the section's
+    FIRST crawl-delay line in file order (positional precedence),
+    returned as its raw string.
 
     Scale shape: the rules table is per-host KB-sized — broadcast it;
     one broadcast join on host, one (host, path)-keyed aggregation with
@@ -137,14 +162,14 @@ def robots_allowed(
     delays = (
         r_sel.where(F.col("directive") == "crawl-delay")
         .groupBy("host")
-        .agg(F.min("value").alias("crawl_delay"))
+        .agg(F.expr("min_by(value, rule_pos)").alias("crawl_delay"))
     )
     paths = r_sel.where(
         F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
-    ).select("host", "directive", "value")
+    ).select("host", "directive", "value", _rule_regex(F.col("value")).alias("vre"))
     cand = frontier.join(F.broadcast(paths), "host", "left").where(
         F.col("value").isNull()
-        | F.expr(f"startswith({path_col}, value)")
+        | F.expr(f"{path_col} rlike vre")
     )
     win = cand.groupBy(host_col, path_col).agg(
         F.max(

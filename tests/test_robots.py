@@ -112,3 +112,59 @@ def test_robots_allowed_no_rules_host_is_allowed(spark):
                                      "host string, path string")
     out = robots_allowed(frontier, parse_robots(robots), "bot").collect()
     assert out[0]["allowed"] is True and out[0]["crawl_delay"] is None
+
+
+def test_parse_robots_sitemap_does_not_close_agent_group(spark):
+    """RFC 9309: unknown directives are ignored — a Sitemap line between
+    two User-agent headers must not split their shared group."""
+    body = (
+        "User-agent: a\n"
+        "Sitemap: http://x/s.xml\n"
+        "User-agent: b\n"
+        "Disallow: /y\n"
+    )
+    got = _rows(spark, body)
+    assert ("a", "disallow", "/y") in got
+    assert ("b", "disallow", "/y") in got
+    assert len(got) == 2
+
+
+def test_robots_allowed_wildcard_and_end_anchor(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*?sessionid\n"     # '*' spans any chars
+        "Disallow: /private$\n"        # '$' anchors: blocks /private only
+        "Disallow: /a*b$\n"
+    )
+    got = _allowed(
+        spark,
+        body,
+        [
+            "/page?sessionid=1",     # matched by /*?sessionid
+            "/page?other=1",
+            "/private",              # exact -> blocked by $-anchored rule
+            "/private/sub",          # NOT blocked ($ anchor)
+            "/aXXb",                 # /a*b$ matches
+            "/aXXbc",                # $ anchor rejects
+        ],
+        "anybot",
+    )
+    assert got["/page?sessionid=1"][0] is False
+    assert got["/page?other=1"][0] is True
+    assert got["/private"][0] is False
+    assert got["/private/sub"][0] is True
+    assert got["/aXXb"][0] is False
+    assert got["/aXXbc"][0] is True
+
+
+def test_robots_allowed_regex_metachars_are_literal(spark):
+    body = "User-agent: *\nDisallow: /a.b(c)+\n"
+    got = _allowed(spark, body, ["/a.b(c)+x", "/aXb(c)c"], "bot")
+    assert got["/a.b(c)+x"][0] is False   # literal prefix match
+    assert got["/aXb(c)c"][0] is True     # '.' and '+' are NOT regex here
+
+
+def test_robots_crawl_delay_first_in_file_order(spark):
+    body = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 10\n"
+    got = _allowed(spark, body, ["/x"], "bot")
+    assert got["/x"][1] == "2"  # positional precedence, not string min

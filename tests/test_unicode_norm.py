@@ -24,25 +24,42 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("form", ["NFC", "NFKC"])
-def test_matches_duckdb_utf8proc(spark, form):
-    """Python unicodedata and DuckDB's utf8proc must agree — the SQL
-    oracle replays this UDF through nfc_normalize."""
-    if form == "NFKC":
-        pytest.importorskip("duckdb")
-    df = spark.createDataFrame([(i, c) for i, c in enumerate(CASES)], "i long, t string")
+def test_nfc_matches_duckdb_utf8proc(spark):
+    """Python unicodedata and DuckDB's utf8proc must agree on NFC — the
+    SQL oracle replays this UDF through nfc_normalize. (DuckDB exposes no
+    NFKC function, so NFKC has no SQL oracle; its behavior is pinned
+    against unicodedata plus hardcoded expectations below.)"""
+    import unicodedata
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CASES)], "i long, t string"
+    )
     got = {
         r["i"]: r["n"]
-        for r in df.select("i", normalize_unicode(F.col("t"), form).alias("n")).collect()
+        for r in df.select(
+            "i", normalize_unicode(F.col("t"), "NFC").alias("n")
+        ).collect()
     }
-    fn = "nfc_normalize" if form == "NFC" else None
     for i, c in enumerate(CASES):
-        import unicodedata
+        assert got[i] == unicodedata.normalize("NFC", c)
+        duck = duckdb.sql("select nfc_normalize(?)", params=[c]).fetchone()[0]
+        assert got[i] == duck, f"utf8proc divergence on {c!r}"
 
-        assert got[i] == unicodedata.normalize(form, c)
-        if fn:
-            duck = duckdb.sql(f"select {fn}(?)", params=[c]).fetchone()[0]
-            assert got[i] == duck, f"utf8proc divergence on {c!r}"
+
+def test_nfkc_matches_unicodedata(spark):
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CASES)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_unicode(F.col("t"), "NFKC").alias("n")
+        ).collect()
+    }
+    import unicodedata
+
+    for i, c in enumerate(CASES):
+        assert got[i] == unicodedata.normalize("NFKC", c)
 
 
 def test_nfc_composes_and_keeps_ligature(spark):

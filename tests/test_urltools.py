@@ -162,3 +162,14 @@ def test_url_filter_path_terms_not_in_host(spark):
     assert got["http://casino.com/news"] == (False, False)
     assert got["http://a.com"] == (False, False)
     assert got["http://a.com/x#casino"] == (False, False)
+
+
+def test_url_filter_query_without_path_is_checked(spark):
+    got = _flags(
+        spark,
+        ["http://a.com?page=casino", "http://a.com?page=news"],
+        hosts=[],
+        terms=["casino"],
+    )
+    assert got["http://a.com?page=casino"] == (False, True)
+    assert got["http://a.com?page=news"] == (False, False)
