@@ -1170,6 +1170,26 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget_tokens=1000)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DCLM-style linear quality scoring over hashed tokens:
+    score = sum of W[md5-bucket(token)] with a 256-bucket integer weight
+    table (weights derived as (b*2654435761) % 1001 - 500 so the oracle
+    can recompute them from the bucket id instead of reading the table —
+    it verifies the lookup mechanics independently). Integer fixed-point
+    weights keep the sum bit-identical across engines; pure Column
+    algebra at scan speed."""
+    from mashing_pumpkins_spark.functions.classifier import hashed_ngram_score
+    from mashing_pumpkins_spark.functions.textstats import whitespace_token_count
+
+    weights = [((b * 2654435761) % 1001) - 500 for b in range(256)]
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        hashed_ngram_score(F.col("text"), weights).alias("score"),
+    ).orderBy("doc_id")
+
+
 def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing into the per-host crawl-rules table: one body
     per source host (wildcard section + a two-agent shared section with
@@ -1909,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_frontier": q_robots_frontier,
         "crawl_budget": q_crawl_budget,
+        "quality_classifier": q_quality_classifier,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2742,6 +2763,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(r.clean_text, '')) as clean_md5
             from tot t left join reb r on r.doc_id = t.doc_id
             order by t.doc_id
+        """,
+        # hashed-token linear classifier: the oracle recomputes each
+        # token's weight FROM its bucket id ((b*2654435761)%1001-500)
+        # rather than reading the Spark-side literal table — verifying
+        # the md5-bucketing + lookup mechanics independently
+        "quality_classifier": r"""
+            with toks as (
+              select t.doc_id, t.w
+              from (select doc_id,
+                           unnest(case when length(trim(text)) > 0
+                              then string_split_regex(lower(trim(text)), '\s+')
+                              else [] end) as w
+                    from documents) t
+            ),
+            sc as (
+              select doc_id,
+                     ((('0x' || substr(md5(w), 1, 8))::bigint % 256)
+                       * 2654435761) % 1001 - 500 as wt
+              from toks
+            ),
+            agg as (select doc_id, count(*)::bigint as n_tokens,
+                           sum(wt)::bigint as score
+                    from sc group by doc_id)
+            select d.doc_id,
+                   coalesce(a.n_tokens, 0)::bigint as n_tokens,
+                   coalesce(a.score, 0)::bigint as score
+            from documents d left join agg a on a.doc_id = d.doc_id
+            order by d.doc_id
         """,
         # robots parsing: expected rows enumerated straight from the
         # body-construction layout (line numbers are the construction's),

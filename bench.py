@@ -305,6 +305,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "sequence_packing",
         "robots_rules",
         "robots_frontier",
+        "quality_classifier",
         # crawl_budget is deliberately NOT timed: it re-runs the full
         # pagerank fixed point (timed as pagerank_scores) plus one
         # aggregation already covered by the grouped-agg entries

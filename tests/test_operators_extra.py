@@ -718,3 +718,43 @@ def test_streaming_admission_html_input(spark, tmp_path):
     assert got["ok"]["admitted"] is True
     assert got["junk"]["quality_ok"] is False and got["junk"]["admitted"] is False
     assert got["broken"]["quality_ok"] is False and got["broken"]["admitted"] is False
+
+
+def test_streaming_exact_dedup_admits_first_occurrence_only(spark, tmp_path):
+    """Two micro-batches with intra-batch AND cross-batch exact dups:
+    every distinct content admits exactly once, later arrivals carry the
+    representative url — parity with the batch collapse's (rep, edges)
+    split."""
+    from mashing_pumpkins_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = tmp_path / "dedup_stream_src"
+    src.mkdir()
+    a, b, c = "alpha content body", "beta content body", "gamma content body"
+    pd.DataFrame(
+        {"url": ["u1", "u2", "u3"], "text": [a, a, b]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame(
+        {"url": ["u4", "u5"], "text": [a, c]}
+    ).to_parquet(src / "b2.parquet")
+
+    stream = spark.readStream.schema("url string, text string").parquet(str(src))
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_stream_test").collect()
+    got = {r["url"]: (r["is_first"], r["rep_url"]) for r in rows}
+    assert len(got) == 5
+    firsts = {u for u, (f, _) in got.items() if f == 1}
+    # exactly one admission per distinct content; u1 is a's rep
+    assert firsts == {"u1", "u3", "u5"}
+    assert got["u2"] == (0, "u1")
+    assert got["u4"] == (0, "u1")  # cross-batch dup resolves to the same rep
+    # dup_seq counts arrivals per content
+    seqs = {r["url"]: r["dup_seq"] for r in rows}
+    assert seqs["u1"] == 1 and seqs["u2"] == 2 and seqs["u4"] == 3
