@@ -1170,6 +1170,49 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget_tokens=1000)
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) fetch-planning index: build one index line per doc (SURT
+    key via the surt_key transform + 14-digit timestamp + JSON capture
+    metadata, all from (source, doc_id) arithmetic), parse it back with
+    parse_cdx, and emit the typed row. The oracle enumerates every field
+    from the construction arithmetic — SURT reversal, dt partition
+    prefix, JSON values — with no parsing at all."""
+    from mashing_pumpkins_spark.functions.urltools import surt_key
+    from mashing_pumpkins_spark.sources.cdx import parse_cdx
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://www."),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    ts = F.concat(
+        F.lit("2026021"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("1030"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+    )
+    line = F.concat(
+        surt_key(url),
+        F.lit(" "),
+        ts,
+        F.lit(' {"url": "'),
+        url,
+        F.lit('", "status": "200", "mime": "text/html", "digest": "D'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "length": "'),
+        (F.col("n_chars") + 100).cast("string"),
+        F.lit('", "filename": "crawl-'),
+        F.col("source"),
+        F.lit('.warc.gz", "offset": "'),
+        (F.col("doc_id") * 1024).cast("string"),
+        F.lit('"}'),
+    )
+    parsed = parse_cdx(docs.select(line.alias("line")))
+    return parsed.orderBy("surt", "ts_raw")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText/DCLM-style linear quality scoring over hashed tokens:
     score = sum of W[md5-bucket(token)] with a 256-bucket integer weight
@@ -1930,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_frontier": q_robots_frontier,
         "crawl_budget": q_crawl_budget,
         "quality_classifier": q_quality_classifier,
+        "cdx_index": q_cdx_index,
         "curation_funnel": q_curation_funnel,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -2763,6 +2807,29 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(r.clean_text, '')) as clean_md5
             from tot t left join reb r on r.doc_id = t.doc_id
             order by t.doc_id
+        """,
+        # CDX index: every field enumerated from the construction
+        # arithmetic — SURT host reversal, dt partition prefix, JSON
+        # values — no parsing anywhere in the oracle
+        "cdx_index": """
+            with r as (
+              select 'com,example,' || source || ',www)/page/' || doc_id
+                       as surt,
+                     '2026021' || (doc_id % 10) || '1030'
+                       || lpad((doc_id % 60)::varchar, 2, '0') as ts_raw,
+                     'http://www.' || source || '.example.com/page/'
+                       || doc_id as url,
+                     200::int as status,
+                     'text/html' as mime,
+                     'D' || doc_id as digest,
+                     (n_chars + 100)::bigint as length,
+                     'crawl-' || source || '.warc.gz' as warc_filename,
+                     (doc_id * 1024)::bigint as warc_offset
+              from documents
+            )
+            select surt, ts_raw, substr(ts_raw, 1, 8) as dt, url, status,
+                   mime, digest, length, warc_filename, warc_offset
+            from r order by surt, ts_raw
         """,
         # hashed-token linear classifier: the oracle recomputes each
         # token's weight FROM its bucket id ((b*2654435761)%1001-500)

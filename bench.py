@@ -306,6 +306,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "robots_rules",
         "robots_frontier",
         "quality_classifier",
+        "cdx_index",
         # crawl_budget is deliberately NOT timed: it re-runs the full
         # pagerank fixed point (timed as pagerank_scores) plus one
         # aggregation already covered by the grouped-agg entries

@@ -87,6 +87,25 @@ def host_of(url: Column) -> Column:
     ).otherwise(F.regexp_replace(auth, r":[0-9]+$", ""))
 
 
+def _path_query(url: Column) -> Column:
+    """Lowercased path+query of a URL: everything from the first '/' OR
+    '?' after the authority (a path-less 'http://h?x=1' still has a
+    query), fragment stripped; empty for bare-authority urls."""
+    rest = F.substring_index(
+        F.lower(F.regexp_replace(url, _SCHEME_RE, "")), "#", 1
+    )
+    slash = F.instr(rest, "/")
+    qmark = F.instr(rest, "?")
+    start = (
+        F.when((slash > 0) & ((qmark == 0) | (slash < qmark)), slash)
+        .when(qmark > 0, qmark)
+        .otherwise(F.lit(0))
+    )
+    return F.when(start > 0, rest.substr(start, F.length(rest))).otherwise(
+        F.lit("")
+    )
+
+
 def url_filter_flags(
     url: Column,
     blocked_hosts: list[str],
@@ -110,22 +129,7 @@ def url_filter_flags(
     host_blocked = F.exists(
         hosts_arr, lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b))
     )
-    # path+query = everything from the first '/' OR '?' after the
-    # authority (a path-less 'http://h?page=casino' still has a query),
-    # fragment stripped; empty for bare-authority urls
-    rest = F.substring_index(
-        F.lower(F.regexp_replace(url, _SCHEME_RE, "")), "#", 1
-    )
-    slash = F.instr(rest, "/")
-    qmark = F.instr(rest, "?")
-    start = (
-        F.when((slash > 0) & ((qmark == 0) | (slash < qmark)), slash)
-        .when(qmark > 0, qmark)
-        .otherwise(F.lit(0))
-    )
-    path = F.when(start > 0, rest.substr(start, F.length(rest))).otherwise(
-        F.lit("")
-    )
+    path = _path_query(url)
     terms_arr = F.array(*[F.lit(t.lower()) for t in blocked_path_terms])
     path_blocked = F.exists(terms_arr, lambda t: F.instr(path, t) > 0)
     return F.struct(
@@ -133,3 +137,18 @@ def url_filter_flags(
         path_blocked.alias("path_blocked"),
         (host_blocked | path_blocked).alias("blocked"),
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key, the canonical
+    sort/partition key of Common Crawl's CDX index: host components
+    reversed and comma-joined, then ')' and the lowercased path+query
+    ('http://news.example.com/a/b?x=1' -> 'com,example,news)/a/b?x=1').
+    Same-site urls become lexicographic neighbors, so a range scan over
+    the index covers a site — the property the CDX files sort by. Pure
+    Column algebra (split/reverse/join on host_of + the url_filter path
+    logic)."""
+    host = host_of(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = _path_query(url)
+    return F.concat(rev, F.lit(")"), path)
