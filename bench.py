@@ -685,16 +685,71 @@ def run_scaling() -> dict:
     return out
 
 
+# The per-round driver keeps only a 2,000-char tail of bench stdout and
+# JSON-parses it. Round 5's full result grew past that (~2,600 chars) and
+# the truncated line failed to parse, losing the round's recorded headline
+# (BENCH_r05 parsed=null). So: the FULL result always goes to
+# BENCH_local.json next to this file, and the final stdout line is a
+# size-capped summary — headline metrics plus as many per-query timings as
+# fit a conservative budget, remainder counted in "queries_omitted".
+_STDOUT_LINE_BUDGET = 1900
+
+
+def _emit_result(out: dict, out_dir: pathlib.Path | None = None) -> None:
+    full_path = (out_dir or pathlib.Path(__file__).parent) / "BENCH_local.json"
+    full_path.write_text(json.dumps(out, indent=1) + "\n")
+
+    slim = {
+        k: v
+        for k, v in out.items()
+        if k
+        in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "cpus",
+            "bench_pages",
+            "pipeline_mb_per_sec",
+            "sketch_mb_per_sec",
+            "hw_probe_mb_per_sec",
+        )
+    }
+    slim["full_result"] = full_path.name
+    timings = out.get("queries", {})
+    slim["queries"] = {}
+    overhead = len(json.dumps(slim, separators=(",", ":")))
+    budget = _STDOUT_LINE_BUDGET - overhead - len('"queries_omitted":999,')
+    used = 0
+    for name, sec in timings.items():  # insertion order = headline first
+        cost = len(json.dumps({name: sec}, separators=(",", ":"))) - 1
+        if used + cost > budget:
+            break
+        slim["queries"][name] = sec
+        used += cost
+    omitted = len(timings) - len(slim["queries"])
+    if omitted:
+        slim["queries_omitted"] = omitted
+    line = json.dumps(slim, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
     if args.scaling:
-        print(json.dumps(run_scaling()))
+        out = run_scaling()
+        full_path = pathlib.Path(__file__).parent / "BENCH_scaling_local.json"
+        full_path.write_text(json.dumps(out, indent=1) + "\n")
+        out.pop("notes", None)
+        print(json.dumps(out, separators=(",", ":")))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_default(sf_dir, cpus)))
+    _emit_result(run_default(sf_dir, cpus))
 
 
 if __name__ == "__main__":

@@ -148,7 +148,11 @@ def robots_allowed(
 
     Scale shape: the rules table is per-host KB-sized — broadcast it;
     one broadcast join on host, one (host, path)-keyed aggregation with
-    a max(struct) winner (map-side combinable), no window over paths."""
+    a max(struct) winner (map-side combinable), no window over paths.
+
+    Rules-side columns are renamed to a `_mp_r` prefix before touching the
+    frontier, so a frontier that itself carries `value`/`directive`
+    columns (or a non-default host_col) joins cleanly."""
     a = agent.lower()
     r = rules.where(F.col("agent").isin(a, "*"))
     # best available section per host: exact beats wildcard
@@ -159,32 +163,44 @@ def robots_allowed(
         (F.col("agent") == a)
         == (F.col("has_exact") == 1)  # exact rules iff exact section exists
     )
-    delays = (
-        r_sel.where(F.col("directive") == "crawl-delay")
-        .groupBy("host")
-        .agg(F.expr("min_by(value, rule_pos)").alias("crawl_delay"))
-    )
+    delays = r_sel.where(F.col("directive") == "crawl-delay").groupBy(
+        F.col("host").alias("_mp_rhost")
+    ).agg(F.expr("min_by(value, rule_pos)").alias("crawl_delay"))
     paths = r_sel.where(
         F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
-    ).select("host", "directive", "value", _rule_regex(F.col("value")).alias("vre"))
-    cand = frontier.join(F.broadcast(paths), "host", "left").where(
-        F.col("value").isNull()
-        | F.expr(f"{path_col} rlike vre")
+    ).select(
+        F.col("host").alias("_mp_rhost"),
+        F.col("directive").alias("_mp_rdir"),
+        F.col("value").alias("_mp_rval"),
+        _rule_regex(F.col("value")).alias("_mp_rvre"),
     )
-    win = cand.groupBy(host_col, path_col).agg(
+    cand = frontier.join(
+        F.broadcast(paths), frontier[host_col] == paths["_mp_rhost"], "left"
+    ).where(
+        F.col("_mp_rval").isNull()
+        | F.expr(f"`{path_col}` rlike _mp_rvre")
+    )
+    win = cand.groupBy(frontier[host_col], frontier[path_col]).agg(
         F.max(
             F.when(
-                F.col("value").isNotNull(),
+                F.col("_mp_rval").isNotNull(),
                 F.struct(
-                    F.length("value").alias("l"),
-                    (F.col("directive") == "allow").cast("int").alias("a"),
+                    # RFC 9309 specificity is OCTET length of the raw
+                    # pattern — multi-byte UTF-8 rules count bytes, not
+                    # chars, so tie-breaks match spec-conformant parsers
+                    F.octet_length("_mp_rval").alias("l"),
+                    (F.col("_mp_rdir") == "allow").cast("int").alias("a"),
                 ),
             )
         ).alias("best")
     )
     return (
         frontier.join(win, [host_col, path_col], "left")
-        .join(F.broadcast(delays), host_col, "left")
+        .join(
+            F.broadcast(delays),
+            F.col(host_col) == F.col("_mp_rhost"),
+            "left",
+        )
         .select(
             frontier["*"],
             (

@@ -168,3 +168,46 @@ def test_robots_crawl_delay_first_in_file_order(spark):
     body = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 10\n"
     got = _allowed(spark, body, ["/x"], "bot")
     assert got["/x"][1] == "2"  # positional precedence, not string min
+
+
+def test_robots_allowed_custom_host_col_and_value_collision(spark):
+    """Regression (round-6 ADVICE): a non-default host_col must reach the
+    frontier-to-rules join, and a frontier column literally named `value`
+    must not collide with the rules table's value column."""
+    from mashing_pumpkins_spark.sources.robots import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /no\n")], "host string, body string"
+    )
+    frontier = spark.createDataFrame(
+        [("h", "/no/x", "keep-me"), ("h", "/ok", "keep-me-too")],
+        "site string, path string, value string",
+    )
+    out = robots_allowed(frontier, parse_robots(robots), "bot", host_col="site")
+    got = {r["path"]: (r["allowed"], r["value"]) for r in out.collect()}
+    assert got["/no/x"] == (False, "keep-me")
+    assert got["/ok"] == (True, "keep-me-too")
+
+
+def test_robots_specificity_is_octet_length(spark):
+    """RFC 9309 longest-match counts OCTETS of the raw pattern. The
+    discriminating case is equal CHAR length but unequal octet length:
+    under char counting the rules tie (and allow would win the tie);
+    under octet counting the multi-byte disallow is longer and wins."""
+    path = "/a€"  # '€' is 3 UTF-8 bytes
+    body = (
+        "User-agent: *\n"
+        "Disallow: /a€\n"  # 5 octets, 3 chars — matches path exactly
+        "Allow: /a*\n"     # 3 octets, 3 chars — also matches via '*'
+    )
+    got = _allowed(spark, body, [path], "bot")
+    assert got[path][0] is False
+    # sanity: longer multi-byte ALLOW still overrides its disallow prefix
+    body2 = (
+        "User-agent: *\n"
+        "Allow: /é€\n"   # 6 octets
+        "Disallow: /é\n"  # 3 octets
+    )
+    p2 = "/é€x"
+    got2 = _allowed(spark, body2, [p2], "bot")
+    assert got2[p2][0] is True
