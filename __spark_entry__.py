@@ -1324,6 +1324,51 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel
 
 
+def q_curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 gated funnel: url_filter (UT1 blocklist) -> robots
+    (RFC 9309 admission for 'trainbot' against the shared _robots_hosts
+    bodies) -> quality filter -> hashed-n-gram classifier (the
+    quality_classifier weight recipe, threshold 0) -> exact dedup ->
+    passage dedup -> decontamination vs the held-out split. Urls come
+    from (source, doc_id) arithmetic — every 5th doc an 'ads.' subdomain
+    (no robots rules -> allowed), every 4th a casino path, every
+    remaining 7th a '/no-<source>/x' path the trainbot section disallows
+    — so the oracle re-derives every gate from the arithmetic instead of
+    re-running the parsers. One funnel job replaces four separate gate
+    jobs; all stages are cumulative flags over a single scan."""
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+    from mashing_pumpkins_spark.sources.robots import parse_robots
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/promo/casino-bonus?x=1"))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("/no-"), F.col("source"), F.lit("/x")),
+        )
+        .otherwise(F.concat(F.lit("/articles/"), F.col("doc_id").cast("string"))),
+    )
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0).withColumn("url", url)
+    weights = [((b * 2654435761) % 1001) - 500 for b in range(256)]
+    funnel, _survivors = curation_funnel(
+        train,
+        benchmark,
+        url_col="url",
+        blocked_hosts=["src3.example.com", "src7.example.com"],
+        blocked_path_terms=["casino", "gambling"],
+        robots_rules=parse_robots(_robots_hosts(docs)),
+        agent="trainbot",
+        classifier_weights=weights,
+        classifier_min=0,
+    )
+    return funnel
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch incremental near-dup admission: odd-doc_id batch checked
     against the committed even-doc_id index (sketch -> band equi-join ->
@@ -1975,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "cdx_index": q_cdx_index,
         "curation_funnel": q_curation_funnel,
+        "curation_funnel_gated": q_curation_funnel_gated,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
         "length_percentiles": q_length_percentiles,
@@ -3131,6 +3177,101 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(sum(case when length(trim(text)) = 0 then 0
                        else len(string_split_regex(trim(text), '\s+')) end), 0) from s3
               union all select 4, 'decontamination', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s4
+            )
+            select stage_idx, stage, n_docs, n_words::bigint as n_words
+            from f order by stage_idx
+        """,
+        "curation_funnel_gated": r"""
+            with train0 as (select doc_id, source, text from documents where doc_id % 10 <> 0),
+            bench as (select doc_id, text from documents where doc_id % 10 = 0),
+            -- gate flags re-derived from the url-construction arithmetic:
+            -- host blocked iff source in (src3, src7) (dot-boundary suffix
+            -- also catches the ads. variants); casino path iff doc_id%4=0;
+            -- robots (trainbot) disallows '/no-<source>' on non-ads hosts,
+            -- and ads. hosts have no rules table entry -> allowed
+            s_uf as (select doc_id, text from train0
+                     where source not in ('src3', 'src7') and doc_id % 4 <> 0),
+            s_rb as (select doc_id, text from s_uf
+                     where not (doc_id % 7 = 0 and doc_id % 5 <> 0)),
+            q as (
+              select doc_id, text,
+                (case when length(text) between 100 and 20000 then 0.4 else 0 end)
+                + (case when (case when length(regexp_replace(text, '\s+', '', 'g')) > 0
+                     then len(regexp_extract_all(regexp_replace(text, '\s+', '', 'g'), '[^A-Za-z0-9]'))::double
+                          / length(regexp_replace(text, '\s+', '', 'g')) else 0 end) < 0.2 then 0.3 else 0 end)
+                + (case when (case when length(trim(text)) > 0
+                     then len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> list_contains(['the','and','of','to','is','in','that','for','with','a','an','it','on','as','at','by'], x)))::double
+                          / len(string_split_regex(lower(trim(text)), '\s+')) else 0 end) > 0.01 then 0.3 else 0 end)
+                as quality
+              from s_rb
+            ),
+            s1 as (select doc_id, text from q where quality >= 0.4),
+            -- hashed-n-gram classifier replay: same md5-bucket + derived
+            -- integer weight recipe the quality_classifier oracle pins
+            ctk as (select t.doc_id, t.w
+                    from (select doc_id,
+                                 unnest(case when length(trim(text)) > 0
+                                    then string_split_regex(lower(trim(text)), '\s+')
+                                    else [] end) as w
+                          from s1) t),
+            csc as (select doc_id,
+                           sum(((('0x' || substr(md5(w), 1, 8))::bigint % 256)
+                             * 2654435761) % 1001 - 500)::bigint as score
+                    from ctk group by doc_id),
+            s_qc as (select s1.doc_id, s1.text from s1 left join csc using (doc_id)
+                     where coalesce(score, 0) >= 0),
+            s2 as (select doc_id, text from (
+              select doc_id, text, row_number() over (partition by md5(text) order by doc_id) as rn
+              from s_qc) where rn = 1),
+            toks as (select doc_id, case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from s2),
+            p as (select doc_id, md5(array_to_string(w[i*16+1:i*16+16], ' ')) as ph
+                  from toks, unnest(generate_series(0, cast(ceil(len(w)/16.0) as int) - 1)) as t(i)
+                  where len(w) > 0),
+            cnts as (select ph, count(*) as cnt from p group by 1),
+            pstat as (select p.doc_id, count(*) as n_pass,
+                             sum(case when cnt > 1 then 1 else 0 end) as n_dup
+                      from p join cnts using (ph) group by 1),
+            s3 as (select s2.doc_id, s2.text from s2 left join pstat using (doc_id)
+                   where coalesce(n_dup, 0)::double / greatest(coalesce(n_pass, 1), 1) <= 0.5),
+            t3 as (select doc_id, case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from s3),
+            tb as (select case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from bench),
+            g3 as (select doc_id, dg.g from t3,
+                   unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                     i -> array_to_string(w[i:i+3], ' ')))) as dg(g)),
+            gb as (select distinct bg.g from tb,
+                   unnest(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                     i -> array_to_string(w[i:i+3], ' '))) as bg(g)),
+            dirty as (select distinct doc_id from g3 join gb using (g)),
+            s4 as (select s3.doc_id, s3.text from s3 anti join dirty using (doc_id)),
+            f as (
+              select 0 as stage_idx, 'input' as stage, count(*) as n_docs,
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) as n_words from train0
+              union all select 1, 'url_filter', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s_uf
+              union all select 2, 'robots', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s_rb
+              union all select 3, 'quality_filter', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s1
+              union all select 4, 'quality_classifier', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s_qc
+              union all select 5, 'exact_dedup', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s2
+              union all select 6, 'passage_dedup', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s3
+              union all select 7, 'decontamination', count(*),
                      coalesce(sum(case when length(trim(text)) = 0 then 0
                        else len(string_split_regex(trim(text), '\s+')) end), 0) from s4
             )

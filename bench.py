@@ -278,6 +278,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         # election itself is one window + two ids-only joins covered by
         # the timed window/join entries
         "curation_funnel",
+        "curation_funnel_gated",
         "incremental_dedup",
         # relational showcase (star-schema joins, sessionization, cube)
         "pricing_summary",

@@ -115,3 +115,48 @@ class PipelineConfig:
         # resuming across a semantic change would silently give wrong clusters
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Funnel-stage knobs for operators/curation.curation_funnel, hashed
+    into the run manifest the same way PipelineConfig gates checkpoint
+    resume: every field is output-affecting (it changes which documents
+    survive), so the recorded hash pins exactly which funnel produced a
+    curated table. Tables (robots rules, benchmark set) are referenced by
+    PATH here — the hash covers the pointer; content-addressing the table
+    itself is the store's job (plans/versioned.py snapshots)."""
+
+    quality_min: float = 0.4
+    passage_words: int = 16
+    max_dup_frac: float = 0.5
+    ngram: int = 4
+    # round-6 gate stages (all off by default — the funnel is then
+    # byte-identical to the pre-round-6 five-stage output)
+    url_col: str | None = None
+    blocked_hosts: tuple[str, ...] = ()
+    blocked_path_terms: tuple[str, ...] = ()
+    robots_path: str | None = None  # parquet of (host, body) robots bodies
+    agent: str = "*"
+    classifier_weights: tuple[int, ...] = ()
+    classifier_min: int = 0
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def funnel_kwargs(self) -> dict:
+        """kwargs for curation_funnel (the robots table itself is loaded
+        by the caller from robots_path)."""
+        return {
+            "quality_min": self.quality_min,
+            "passage_words": self.passage_words,
+            "max_dup_frac": self.max_dup_frac,
+            "ngram": self.ngram,
+            "url_col": self.url_col,
+            "blocked_hosts": list(self.blocked_hosts),
+            "blocked_path_terms": list(self.blocked_path_terms),
+            "agent": self.agent,
+            "classifier_weights": list(self.classifier_weights),
+            "classifier_min": self.classifier_min,
+        }

@@ -2,15 +2,25 @@
 sequence composed from this repo's operators, with a per-stage funnel
 report (docs and words surviving each stage).
 
-Stages (each optional knobs, all pure JVM Column expressions):
-  0 input
-  1 quality_filter     — textstats.quality_score >= quality_min
-  2 exact_dedup        — keep min-id doc per md5(text) group
-  3 passage_dedup      — drop docs whose duplicated-passage fraction
-                         (corpus.passage_dedup_stats over the stage-2
-                         survivors) exceeds max_dup_frac
-  4 decontamination    — drop docs sharing any word n-gram with the
-                         benchmark set (corpus.decontaminate)
+Stages in order (every one optional except input/quality/exact/passage;
+all pure JVM Column expressions unless noted):
+  input
+  url_filter          — UT1-style blocklist cut on the url column
+                        (urltools.url_filter_flags; needs url_col +
+                        blocked_hosts/blocked_path_terms)
+  robots              — RFC 9309 admission for `agent` against a parsed
+                        robots-rules table (sources.robots.robots_allowed;
+                        needs url_col + robots_rules; one broadcast join)
+  quality_filter      — textstats.quality_score >= quality_min
+  quality_classifier  — hashed-n-gram linear model score >= classifier_min
+                        (functions.classifier.hashed_ngram_score; needs
+                        classifier_weights)
+  exact_dedup         — keep min-id doc per content-key group
+  passage_dedup       — drop docs whose duplicated-passage fraction
+                        (corpus.passage_dedup_stats over the exact-dedup
+                        survivors) exceeds max_dup_frac
+  decontamination     — drop docs sharing any word n-gram with the
+                        benchmark set (corpus.decontaminate)
 
 Scale notes (100 TB): the funnel DataFrame is declarative — each stage's
 count/word aggregate is a separate plan branch, so Catalyst prunes to
@@ -48,10 +58,25 @@ def curation_funnel(
     near_dup: "PipelineConfig | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
+    blocked_hosts: list[str] | None = None,
+    blocked_path_terms: list[str] | None = None,
+    robots_rules: DataFrame | None = None,
+    agent: str = "*",
+    classifier_weights: list[int] | None = None,
+    classifier_min: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (funnel, survivors): funnel is one row per stage with
     (stage_idx, stage, n_docs, n_words); survivors is the post-funnel
     document set (id, text columns preserved).
+
+    Optional gate stages (round-6): `blocked_hosts`/`blocked_path_terms`
+    enable the url_filter stage, `robots_rules` (a parse_robots table)
+    enables the robots admission stage for `agent` — both need `url_col`
+    — and `classifier_weights` enables the hashed-n-gram linear-model
+    stage keeping docs with score >= classifier_min. Stage indices shift
+    when gates are enabled; with all gates off the funnel is byte-
+    identical to the pre-round-6 five-stage output.
 
     When `near_dup` (a PipelineConfig) is given, a final stage runs the
     full MinHash near-dup pipeline (sketch -> bands -> candidates ->
@@ -60,28 +85,90 @@ def curation_funnel(
     whose string id equals the cluster id, i.e. the lexicographic min).
     This stage is hash-valued, so the SQL-replayable driver query leaves
     it off; its own correctness gate is the `pipeline_clusters` oracle."""
+    url_gates = bool(blocked_hosts or blocked_path_terms)
+    if (url_gates or robots_rules is not None) and url_col is None:
+        raise ValueError("url_filter/robots stages require url_col")
+
     # Single-scan design: one base DataFrame carries a cumulative survival
     # flag per stage, and the whole funnel report is ONE aggregate over it
     # (stage N's count = sum of flag N). The naive alternative — one agg
     # branch per stage, each re-deriving the full upstream chain — ran 5x
-    # the work; only the passage-count and benchmark-gram side inputs are
-    # aggregation branches here, and they read the filtered base once.
-    flags = docs.select(F.col(id_col), F.col(text_col)).withColumn(
-        "_q", quality_score(F.col(text_col)) >= F.lit(quality_min)
+    # the work; only the passage-count, robots-admission and
+    # benchmark-gram side inputs are aggregation/join branches here, and
+    # they read the filtered base once.
+    base_cols = [F.col(id_col), F.col(text_col)]
+    if url_col is not None:
+        base_cols.append(F.col(url_col))
+    flags = docs.select(*base_cols)
+    specs: list[tuple[str, "F.Column"]] = [("input", F.lit(True))]
+    gate = F.lit(True)
+
+    if url_gates:
+        from ..functions.urltools import url_filter_flags
+
+        flags = flags.withColumn(
+            "_uf",
+            gate
+            & ~url_filter_flags(
+                F.col(url_col), blocked_hosts or [], blocked_path_terms or []
+            )["blocked"],
+        )
+        specs.append(("url_filter", F.col("_uf")))
+        gate = F.col("_uf")
+
+    if robots_rules is not None:
+        from ..functions.urltools import _path_query, host_of
+        from ..sources.robots import robots_allowed
+
+        pq = _path_query(F.col(url_col))
+        frontier = flags.select(
+            F.col(id_col),
+            host_of(F.col(url_col)).alias("_rb_host"),
+            # RFC 9309: an empty path is matched as '/'
+            F.when(pq == "", F.lit("/")).otherwise(pq).alias("_rb_path"),
+        )
+        admitted = robots_allowed(
+            frontier, robots_rules, agent, host_col="_rb_host", path_col="_rb_path"
+        ).select(F.col(id_col), F.col("allowed").alias("_rb_ok"))
+        flags = flags.join(admitted, id_col, "left").withColumn(
+            "_rb", gate & F.coalesce("_rb_ok", F.lit(True))
+        ).drop("_rb_ok")
+        specs.append(("robots", F.col("_rb")))
+        gate = F.col("_rb")
+
+    flags = flags.withColumn(
+        "_q", gate & (quality_score(F.col(text_col)) >= F.lit(quality_min))
     )
-    # exact-dedup representative among quality survivors: min id per
-    # content fingerprint, restricted to _q rows (ids are unique, so this
-    # equals row_number()==1 over (fp, id) among survivors). The key is the
-    # engine-wide 12-byte (len, xx64, mm32) content struct shared with
-    # operators/exact.py — smaller sort key than an md5 hex string, one
-    # content-key definition across the engine; the DuckDB replay groups by
-    # md5(text), equivalent for any content-determined key (collisions
-    # ~1e-5 at 10^12 docs, and a collision only merges two groups).
+    specs.append(("quality_filter", F.col("_q")))
+    gate = F.col("_q")
+
+    if classifier_weights:
+        from ..functions.classifier import hashed_ngram_score
+
+        flags = flags.withColumn(
+            "_k",
+            gate
+            & (
+                hashed_ngram_score(F.col(text_col), classifier_weights)
+                >= F.lit(int(classifier_min))
+            ),
+        )
+        specs.append(("quality_classifier", F.col("_k")))
+        gate = F.col("_k")
+
+    # exact-dedup representative among upstream survivors: min id per
+    # content fingerprint, restricted to gate rows (ids are unique, so
+    # this equals row_number()==1 over (fp, id) among survivors). The key
+    # is the engine-wide 12-byte (len, xx64, mm32) content struct shared
+    # with operators/exact.py — smaller sort key than an md5 hex string,
+    # one content-key definition across the engine; the DuckDB replay
+    # groups by md5(text), equivalent for any content-determined key
+    # (collisions ~1e-5 at 10^12 docs, and a collision only merges two
+    # groups).
     w = Window.partitionBy(content_key(text_col))
     flags = flags.withColumn(
         "_d",
-        F.col("_q")
-        & (F.col(id_col) == F.min(F.when(F.col("_q"), F.col(id_col))).over(w)),
+        gate & (F.col(id_col) == F.min(F.when(gate, F.col(id_col))).over(w)),
     )
 
     pstats = passage_dedup_stats(
@@ -100,12 +187,8 @@ def curation_funnel(
         ),
     ).drop("n_passages", "n_dup_passages")
 
-    specs: list[tuple[str, "F.Column"]] = [
-        ("input", F.lit(True)),
-        ("quality_filter", F.col("_q")),
-        ("exact_dedup", F.col("_d")),
-        ("passage_dedup", F.col("_p")),
-    ]
+    specs.append(("exact_dedup", F.col("_d")))
+    specs.append(("passage_dedup", F.col("_p")))
     last = "_p"
 
     if benchmark is not None:
@@ -126,7 +209,8 @@ def curation_funnel(
         specs.append(("decontamination", F.col("_c")))
         last = "_c"
 
-    survivors = flags.where(last).select(id_col, text_col)
+    out_cols = [id_col, text_col] + ([url_col] if url_col is not None else [])
+    survivors = flags.where(last).select(*out_cols)
 
     wc = whitespace_token_count(F.col(text_col))
     aggs = []

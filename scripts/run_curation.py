@@ -8,10 +8,21 @@ Cluster usage:
         --docs /data/docs_parquet --output /data/curated \\
         [--benchmark /data/benchmark_parquet] \\
         [--near-dup --nsize 21 --maxsize 256 --bands 32 --rows 8 --tau 0.8] \\
-        [--quality-min 0.4] [--passage-words 16] [--max-dup-frac 0.5] [--ngram 4]
+        [--quality-min 0.4] [--passage-words 16] [--max-dup-frac 0.5] [--ngram 4] \\
+        [--url-col url] [--blocked-hosts h1,h2] [--blocked-path-terms t1,t2] \\
+        [--robots /data/robots_parquet --agent trainbot] \\
+        [--classifier-weights w0,w1,...] [--classifier-min 0]
 
-Writes <output>/survivors (id, text) and <output>/funnel (per-stage docs
-and words) as parquet, and prints the funnel as JSON lines.
+Writes <output>/survivors (id, text[, url]), <output>/funnel (per-stage
+docs and words) and <output>/manifest.json (the CurationConfig hash that
+pins which funnel produced the table) as parquet/JSON, and prints the
+funnel as JSON lines.
+
+Gate stages (round-6): --blocked-hosts/--blocked-path-terms enable the
+UT1-style url_filter stage, --robots (a parquet of host,body robots.txt
+bodies) enables RFC 9309 admission for --agent, --classifier-weights
+(integer fixed-point) enables the hashed-n-gram linear quality model.
+All three need --url-col.
 """
 
 from __future__ import annotations
@@ -42,10 +53,22 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--rows", type=int, default=8)
     ap.add_argument("--tau", type=float, default=0.8)
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--blocked-hosts", default="",
+                    help="comma-separated blocklist hosts (url_filter stage)")
+    ap.add_argument("--blocked-path-terms", default="",
+                    help="comma-separated path substrings (url_filter stage)")
+    ap.add_argument("--robots", default=None,
+                    help="parquet of (host, body) robots.txt bodies")
+    ap.add_argument("--agent", default="*")
+    ap.add_argument("--classifier-weights", default="",
+                    help="comma-separated integer weights (quality_classifier stage)")
+    ap.add_argument("--classifier-min", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from mashing_pumpkins_spark.config import CurationConfig
     from mashing_pumpkins_spark.operators.curation import curation_funnel
 
     spark = SparkSession.builder.appName("mp-curation").getOrCreate()
@@ -63,19 +86,42 @@ def main() -> None:
             rows_per_band=args.rows,
             jaccard_threshold=args.tau,
         )
-    funnel, survivors = curation_funnel(
-        docs,
-        benchmark,
+    cur_cfg = CurationConfig(
         quality_min=args.quality_min,
         passage_words=args.passage_words,
         max_dup_frac=args.max_dup_frac,
         ngram=args.ngram,
+        url_col=args.url_col,
+        blocked_hosts=tuple(h for h in args.blocked_hosts.split(",") if h),
+        blocked_path_terms=tuple(t for t in args.blocked_path_terms.split(",") if t),
+        robots_path=args.robots,
+        agent=args.agent,
+        classifier_weights=tuple(
+            int(w) for w in args.classifier_weights.split(",") if w
+        ),
+        classifier_min=args.classifier_min,
+    )
+    robots_rules = None
+    if args.robots:
+        from mashing_pumpkins_spark.sources.robots import parse_robots
+
+        robots_rules = parse_robots(spark.read.parquet(args.robots))
+    funnel, survivors = curation_funnel(
+        docs,
+        benchmark,
         near_dup=near_dup,
         id_col=args.id_col,
         text_col=args.text_col,
+        robots_rules=robots_rules,
+        **cur_cfg.funnel_kwargs(),
     )
     out = args.output.rstrip("/")
     survivors.write.mode("overwrite").parquet(f"{out}/survivors")
+    pathlib.Path(f"{out}/manifest.json").parent.mkdir(parents=True, exist_ok=True)
+    pathlib.Path(f"{out}/manifest.json").write_text(json.dumps({
+        "curation_config_hash": cur_cfg.config_hash(),
+        "near_dup_config_hash": near_dup.config_hash() if near_dup else None,
+    }, indent=1))
     funnel.write.mode("overwrite").parquet(f"{out}/funnel")
     for row in spark.read.parquet(f"{out}/funnel").orderBy("stage_idx").collect():
         print(json.dumps(row.asDict(), default=str))

@@ -193,6 +193,90 @@ def test_corpus_ops_tolerate_null_text(spark):
     assert sum(r.n_docs for r in stats) == 2
 
 
+def test_curation_funnel_gate_stages(spark):
+    """Round-6 gates: url_filter, robots and quality_classifier slot into
+    the cumulative-flag chain, each removing exactly its planted target,
+    and survivors keep the url column."""
+    from mashing_pumpkins_spark.config import CurationConfig
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+    from mashing_pumpkins_spark.sources.robots import parse_robots
+
+    good = lambda i: " ".join(f"g{i}x{j}" for j in range(30))  # noqa: E731
+    rows = [
+        (1, good(1), "http://ok.com/a"),
+        (2, good(2), "http://ads.bad.com/a"),     # url_filter: host blocked
+        (3, good(3), "http://ok.com/casino/x"),   # url_filter: path term
+        (4, good(4), "http://strict.com/private/x"),  # robots disallows
+        (5, good(5), "http://strict.com/pub/x"),  # robots allows
+        (6, "spam " * 40, "http://ok.com/b"),     # classifier scores low
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("strict.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, body string",
+        )
+    )
+    # weight table: compute every test token's bucket first so collisions
+    # with the 'spam' bucket can't randomize the outcome — good-token
+    # buckets get +1, spam's bucket -1000, untouched buckets 0
+    from mashing_pumpkins_spark.functions.classifier import token_bucket
+
+    n_buckets = 256
+    all_tokens = sorted({t for _, text, _ in rows for t in text.split()})
+    bdf = spark.createDataFrame([(t,) for t in all_tokens], "tok string")
+    buckets = {
+        r.tok: r.b
+        for r in bdf.select("tok", token_bucket(F.col("tok"), n_buckets).alias("b")).collect()
+    }
+    assert all(
+        buckets[t] != buckets["spam"] for t in all_tokens if t != "spam"
+    ), "bucket collision with 'spam' — raise n_buckets"
+    weights = [0] * n_buckets
+    for t in all_tokens:
+        weights[buckets[t]] = 1
+    weights[buckets["spam"]] = -1000
+    funnel, survivors = curation_funnel(
+        docs,
+        None,
+        id_col="doc_id",
+        text_col="text",
+        url_col="url",
+        blocked_hosts=["bad.com"],
+        blocked_path_terms=["casino"],
+        robots_rules=robots,
+        agent="trainbot",
+        classifier_weights=weights,
+        classifier_min=0,
+    )
+    counts = {r.stage: r.n_docs for r in funnel.collect()}
+    assert [r.stage for r in funnel.orderBy("stage_idx").collect()] == [
+        "input", "url_filter", "robots", "quality_filter",
+        "quality_classifier", "exact_dedup", "passage_dedup",
+    ]
+    assert counts["input"] == 6
+    assert counts["url_filter"] == 4      # drops 2 (host) and 3 (path)
+    assert counts["robots"] == 3          # drops 4
+    assert counts["quality_filter"] == 3
+    assert counts["quality_classifier"] == 2  # drops 6
+    got = {r.doc_id: r.url for r in survivors.collect()}
+    assert got == {1: "http://ok.com/a", 5: "http://strict.com/pub/x"}
+    # CurationConfig hashes the knobs; gates-off config reproduces the
+    # legacy hashable surface
+    c1 = CurationConfig(blocked_hosts=("bad.com",), url_col="url")
+    c2 = CurationConfig(blocked_hosts=("bad.com", "worse.com"), url_col="url")
+    assert c1.config_hash() != c2.config_hash()
+    assert CurationConfig().config_hash() == CurationConfig().config_hash()
+
+
+def test_curation_funnel_gates_require_url_col(spark):
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation_funnel(docs, None, blocked_hosts=["x.com"])
+
+
 def test_curation_funnel_without_benchmark_skips_decontamination(spark):
     from mashing_pumpkins_spark.operators.curation import curation_funnel
 
