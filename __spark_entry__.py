@@ -1667,20 +1667,13 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_summary(payloads).orderBy("url")
 
 
-def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL lossy-codec decode (the dominant crawl image format): each doc
-    becomes a 48x32 image of per-8x8-block uniform values planted from
-    doc_id arithmetic, encoded as JPEG at quality 75 (even doc_ids
-    grayscale, odd doc_ids RGB 4:2:0 with R=G=B; doc_id % 4 >= 2 via the
-    PROGRESSIVE encoder — SOF2 spectral selection + successive
-    approximation, which decodes to identical pixels), then decoded by
-    the native pure-numpy JPEG decoder inside image_summary. Quality 75
-    makes the luminance DC quantizer exactly 8, so per-block-uniform
-    images roundtrip BIT-EXACTLY through Huffman + DC prediction +
-    dequant + IDCT (tests/test_jpeg.py pins this against a hand-built
-    spec fixture) — which lets the oracle recompute the decoded pixel
-    mean from the SAME planting arithmetic in pure SQL, for baseline and
-    progressive payloads alike."""
+def _jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, payload) JPEG fixture table shared by the gate query and the
+    bench decode-only timing: each doc a 48x32 per-8x8-block-uniform image
+    planted from doc_id arithmetic, quality 75, even ids grayscale / odd
+    RGB 4:2:0, doc_id % 4 >= 2 progressive. bench.py materializes this
+    once (untimed) so the timed entry measures DECODE, not the per-row
+    Python encoder."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType
@@ -1689,7 +1682,6 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
         encode_jpeg_progressive,
     )
-    from mashing_pumpkins_spark.operators.multimodal import image_summary
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"),
@@ -1712,8 +1704,26 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append(enc(rgb, quality=75, subsampling="4:2:0"))
         return pd.Series(out)
 
-    payloads = docs.select("url", to_jpeg("d").alias("payload"))
-    return image_summary(payloads).orderBy("url")
+    return docs.select("url", to_jpeg("d").alias("payload"))
+
+
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode (the dominant crawl image format): each doc
+    becomes a 48x32 image of per-8x8-block uniform values planted from
+    doc_id arithmetic, encoded as JPEG at quality 75 (even doc_ids
+    grayscale, odd doc_ids RGB 4:2:0 with R=G=B; doc_id % 4 >= 2 via the
+    PROGRESSIVE encoder — SOF2 spectral selection + successive
+    approximation, which decodes to identical pixels), then decoded by
+    the native pure-numpy JPEG decoder inside image_summary. Quality 75
+    makes the luminance DC quantizer exactly 8, so per-block-uniform
+    images roundtrip BIT-EXACTLY through Huffman + DC prediction +
+    dequant + IDCT (tests/test_jpeg.py pins this against a hand-built
+    spec fixture) — which lets the oracle recompute the decoded pixel
+    mean from the SAME planting arithmetic in pure SQL, for baseline and
+    progressive payloads alike."""
+    from mashing_pumpkins_spark.operators.multimodal import image_summary
+
+    return image_summary(_jpeg_payloads(spark, sf_dir)).orderBy("url")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -323,6 +323,15 @@ def run_default(sf_dir: str, cpus: int) -> dict:
             recovery_gaps["mid_queries"] = _recovery_gap(hw_probe["1"], gap_budget)
         if name is None or name not in queries:
             continue
+        if name == "jpeg_decode_stats":
+            # time DECODE only: the gate query's per-row Python ENCODER
+            # dominated the old timed entry (round-5 verdict) — the
+            # production story is decoding crawl payloads, so the fixture
+            # is materialized untimed and the clock covers image_summary
+            # over the read-back
+            timings[name] = _jpeg_decode_timing(spark, sf_dir)
+            spark.catalog.clearCache()
+            continue
         t0 = time.monotonic()
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -336,6 +345,9 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     t0 = time.monotonic()
     _embedding_lsh_prod(spark, sf_dir).count()
     timings["embedding_near_pairs_lsh_prod"] = round(time.monotonic() - t0, 3)
+    spark.catalog.clearCache()
+
+    jpeg_realsize = _jpeg_realsize_probe(spark)
     spark.catalog.clearCache()
 
     # quadratic-oracle-form queries (crossJoin all-pairs over un-truncated
@@ -371,7 +383,71 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "hw_probe_mb_per_sec": hw_probe,
         "hw_probe_end_mb_per_sec": {"1": _hw_probe(1)},
         "recovery_gaps": recovery_gaps,
+        "jpeg_decode_realsize": jpeg_realsize,
         "cpus": cpus,
+    }
+
+
+def _jpeg_decode_timing(spark, sf_dir: str) -> float:
+    """Decode-only jpeg_decode_stats timing: materialize the gate query's
+    payload fixture once (untimed — the per-row Python encoder is fixture
+    construction, not workload), then time the native decode pass."""
+    import __spark_entry__ as entry_mod
+
+    from mashing_pumpkins_spark.operators.multimodal import image_summary
+
+    tmp = tempfile.mkdtemp(prefix="mp-jpegfix-")
+    try:
+        path = os.path.join(tmp, "payloads.parquet")
+        entry_mod._jpeg_payloads(spark, sf_dir).write.mode("overwrite").parquet(path)
+        t0 = time.monotonic()
+        image_summary(spark.read.parquet(path)).count()
+        return round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _jpeg_realsize_probe(spark) -> dict:
+    """Realistic-size decode ceiling: two 640x480 photos-like payloads
+    (grayscale + RGB 4:2:0) encoded ONCE driver-side, replicated to 64
+    rows, decoded in parallel by image_summary. Records the pure-Python
+    Huffman+IDCT ceiling in compressed MB/s and megapixels/s — the number
+    a 100 TB crawl plan must budget against (escape hatch documented in
+    BENCH/BASELINE.md: swap decode_jpeg for a native lib inside the same
+    mapInPandas plumbing)."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.operators.jpegcodec import encode_jpeg
+    from mashing_pumpkins_spark.operators.multimodal import image_summary
+
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:480, 0:640]
+    base = (np.sin(x / 37.0) + np.cos(y / 23.0)) * 60 + 128
+    img = np.clip(base + rng.normal(0, 12, base.shape), 0, 255).astype(np.uint8)
+    rgb = np.stack([img, np.roll(img, 7, 0), np.roll(img, 11, 1)], axis=-1)
+    payloads = [
+        encode_jpeg(img, quality=75),
+        encode_jpeg(rgb, quality=75, subsampling="4:2:0"),
+    ]
+    n_rep = 32
+    rows = [
+        (f"img{k}_{r}", bytearray(p))
+        for k, p in enumerate(payloads)
+        for r in range(n_rep)
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary").repartition(16)
+    df.count()  # settle the driver-local upload before the clock starts
+    t0 = time.monotonic()
+    image_summary(df).count()
+    sec = time.monotonic() - t0
+    total_bytes = sum(len(p) for p in payloads) * n_rep
+    total_mp = 640 * 480 * len(payloads) * n_rep / 1e6
+    return {
+        "size": "640x480",
+        "images": len(rows),
+        "sec": round(sec, 3),
+        "compressed_mb_per_sec": round(total_bytes / 1e6 / sec, 3),
+        "megapixels_per_sec": round(total_mp / sec, 2),
     }
 
 
@@ -649,6 +725,25 @@ def run_scaling() -> dict:
         "(config.py): at a 20k-page soak the old 16x16 default sampled "
         "only 0.83 recall on tau-edge pairs because its implied threshold "
         "(1/16)^(1/16) ~= 0.84 sits ABOVE tau.\n\n"
+        "## JPEG decode ceiling (round-6: decode-only timing + real-size probe)\n\n"
+        "From round 6 the bench entry `jpeg_decode_stats` times DECODE "
+        "only: the gate query's per-row Python ENCODER (fixture "
+        "construction, ~70% of the old 10.4 s entry) is materialized to "
+        "parquet untimed and the clock covers image_summary over the "
+        "read-back. Real-size ceiling, measured per run and recorded in "
+        "the bench JSON as `jpeg_decode_realsize` (640x480 photo-like "
+        "payloads, grayscale + RGB 4:2:0, 64 images across 16 tasks): "
+        "~4.2 megapixels/s total, ~0.85 MB/s compressed on this host — "
+        "single-core decode is ~1.5 MP/s gray / 0.7 MP/s RGB420 "
+        "(Huffman bit-walk + batched-matmul IDCT in numpy). Budget math "
+        "at 100 TB: a crawl's ~100 KB median JPEG at ~0.25 MP decodes in "
+        "~0.2-0.4 s-core, so image featurization is CPU-bound at "
+        "~3-6 MB/s-core — 10-30x below the text pipeline. ESCAPE HATCH: "
+        "decode_jpeg is one pure function behind the mapInPandas batch "
+        "plumbing (operators/multimodal.py); swapping in a native "
+        "decoder (libjpeg-turbo via Pillow/pyturbojpeg, ~50-100x) "
+        "changes no schema, partitioning, or null-row contract — the "
+        "Spark-side shape is already the production one.\n\n"
         "## sf1 soak — the scale paths actually executed (round-5, scripts/sf1_soak.py)\n\n"
         "1,000,000-page synthetic corpus (planted boilerplate on 10% of "
         "docs), full CHECKPOINTED pipeline at local[16], AQE + skew-join "
