@@ -1864,6 +1864,66 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export edge (Common Crawl's text-only sibling of WARC): docs
+    are rendered to HTML, serialized as sharded .warc.gz, read back
+    distributed, extraction recovers the text, and write_wet_files
+    exports one conversion-record .wet.gz per partition (no shuffle)
+    which read_wet_pages re-ingests. The output md5s the text that
+    SURVIVED the full warc -> extract -> wet -> parse cycle, so the
+    oracle's md5(text) over the original documents table certifies the
+    byte-identity invariant end to end; has_refers pins the
+    WARC-Refers-To link back to each response record."""
+    import tempfile
+
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.extraction import (
+        extracted_text_col,
+        render_html,
+    )
+    from mashing_pumpkins_spark.sources.warc import (
+        read_warc_pages,
+        read_wet_pages,
+        write_pages_as_warc,
+        write_wet_files,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    urls = "https://warc.example/doc-" + docs["doc_id"].astype(str)
+    pages = pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.to_datetime("2024-01-01", utc=True)
+            + pd.to_timedelta(docs["doc_id"] * 61, unit="s"),
+            "html": [
+                render_html(t, u) for t, u in zip(docs["text"], urls)
+            ],
+        }
+    )
+    warc_dir = tempfile.mkdtemp(prefix="mp_spark_wetsrc_")
+    wet_dir = tempfile.mkdtemp(prefix="mp_spark_wetout_")
+    write_pages_as_warc(pages, warc_dir, n_files=8)
+    extracted = read_warc_pages(spark, warc_dir).select(
+        "url",
+        "warc_ts",
+        extracted_text_col(F.col("html")).alias("text"),
+        F.col("record_id").alias("refers_to"),
+    )
+    write_wet_files(extracted, wet_dir).collect()
+    back = read_wet_pages(spark, wet_dir)
+    return (
+        back.select(
+            F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long").alias("doc_id"),
+            F.unix_timestamp("warc_ts").alias("ts_epoch"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            F.col("refers_to").isNotNull().cast("int").alias("has_refers"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (readability-style main-content extraction):
     each doc is rendered as a page WITH planted link-dense boilerplate
@@ -2047,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "html_extraction": q_html_extraction,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_wet_roundtrip": q_warc_wet_roundtrip,
         "main_content": q_main_content,
     }
 
@@ -3443,6 +3504,14 @@ def oracle_sql() -> dict[str, str]:
                    epoch(timestamp '2024-01-01 00:00:00+00')::bigint
                      + doc_id * 61 as ts_epoch,
                    md5(text) as extract_md5
+            from documents order by doc_id
+        """,
+        "warc_wet_roundtrip": """
+            select doc_id,
+                   epoch(timestamp '2024-01-01 00:00:00+00')::bigint
+                     + doc_id * 61 as ts_epoch,
+                   md5(text) as text_md5,
+                   1 as has_refers
             from documents order by doc_id
         """,
         "main_content": """

@@ -97,6 +97,28 @@ def build_response_record(
     return head + http + _CRLF + _CRLF
 
 
+def build_conversion_record(
+    url: str, ts: datetime, text: bytes, refers_to: Optional[str] = None
+) -> bytes:
+    """One WARC/1.0 conversion record — the WET (text-only) sibling of a
+    response record: Content-Type text/plain, body = the extracted text
+    bytes VERBATIM (the byte-identity invariant the north rule pins), an
+    optional WARC-Refers-To pointing at the source response record."""
+    warc_date = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    refers = f"WARC-Refers-To: {refers_to}\r\n" if refers_to else ""
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: {_record_id(url + '#wet', ts)}\r\n"
+        f"{refers}"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode("ascii")
+    return head + text + _CRLF + _CRLF
+
+
 def build_warcinfo_record(ts: datetime, info: str = "software: mashing-pumpkins-spark") -> bytes:
     body = (info + "\r\n").encode("utf-8")
     warc_date = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
@@ -221,9 +243,11 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
             "warc_type": fields.get("warc-type"),
             "url": fields.get("warc-target-uri"),
             "record_id": fields.get("warc-record-id"),
+            "refers_to": fields.get("warc-refers-to"),
             "warc_ts": None,
             "http_status": None,
             "html": None,
+            "text": None,
         }
         date = fields.get("warc-date")
         if date:
@@ -234,6 +258,9 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
             status, html = _split_http(body)
             rec["http_status"] = status
             rec["html"] = html
+        elif rec["warc_type"] == "conversion":
+            # WET record: the block IS the extracted text, bytes verbatim
+            rec["text"] = body.decode("utf-8")
         yield rec
 
 
@@ -261,6 +288,115 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(_parse, WARC_PAGE_SCHEMA)
+
+
+WET_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("record_id", StringType()),
+        StructField("refers_to", StringType()),
+    ]
+)
+
+
+def write_wet(
+    path: str,
+    pages: Iterable[dict],
+    gzip_per_record: bool = True,
+    warcinfo: bool = True,
+) -> int:
+    """Write pages (dicts with url, warc_ts, text, optional refers_to) to
+    one WET file — conversion records whose body is the extracted text
+    UTF-8 bytes verbatim. Same container conventions as write_warc
+    (per-record gzip members, leading warcinfo). Returns the record
+    count (excluding warcinfo)."""
+    n = 0
+    with open(path, "wb") as fh:
+        def emit(raw: bytes) -> None:
+            fh.write(gzip.compress(raw, 6, mtime=0) if gzip_per_record else raw)
+
+        first_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        if warcinfo:
+            emit(build_warcinfo_record(first_ts, "software: mashing-pumpkins-spark\r\nformat: WARC conversion (WET)"))
+        for page in pages:
+            ts = page["warc_ts"]
+            if isinstance(ts, pd.Timestamp):
+                ts = ts.to_pydatetime()
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            emit(
+                build_conversion_record(
+                    page["url"],
+                    ts,
+                    str(page["text"]).encode("utf-8"),
+                    refers_to=page.get("refers_to"),
+                )
+            )
+            n += 1
+    return n
+
+
+def write_wet_files(
+    pages: DataFrame, out_dir: str, gzip_per_record: bool = True
+) -> DataFrame:
+    """Distributed WET export: one .wet(.gz) file per input partition via
+    mapInPandas (the Common Crawl layout — files are the parallelism
+    unit on both write and read). Input columns: url, warc_ts, text,
+    optional refers_to. Returns a (path, n_records) DataFrame; empty
+    partitions produce no file.
+
+    Scale shape: no shuffle — each task streams its partition straight
+    to its own file; re-partition upstream to choose file count/size
+    (CC WET shards are ~150 MB compressed)."""
+    import pathlib
+
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    ext = "wet.gz" if gzip_per_record else "wet"
+    has_refers = "refers_to" in pages.columns
+    cols = ["url", "warc_ts", "text"] + (["refers_to"] if has_refers else [])
+    out_schema = StructType(
+        [StructField("path", StringType()), StructField("n_records", LongType())]
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = str(pathlib.Path(out_dir) / f"part-{pid:05d}.{ext}")
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            yield pd.DataFrame({"path": [], "n_records": []}).astype(
+                {"path": "string", "n_records": "int64"}
+            )
+            return
+        n = write_wet(path, rows, gzip_per_record=gzip_per_record)
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    return pages.select(*cols).mapInPandas(_write, out_schema)
+
+
+def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET ingest, mirror of read_warc_pages: binaryFile scan
+    -> mapInPandas parse -> (url, warc_ts, text, record_id, refers_to);
+    only conversion records are emitted."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "text", "record_id", "refers_to")}
+            for payload in pdf["content"]:
+                for rec in iter_warc_records(bytes(payload)):
+                    if rec["warc_type"] != "conversion":
+                        continue
+                    for k in rows:
+                        rows[k].append(rec[k])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(_parse, WET_PAGE_SCHEMA)
 
 
 def write_pages_as_warc(

@@ -13,7 +13,8 @@ Cluster usage:
         scripts/run_ingest.py \\
         --warc /data/crawl/segments/ \\
         --output /data/pages \\
-        [--main-content] [--iceberg-table lake.pages]
+        [--main-content] [--iceberg-table lake.pages] \\
+        [--wet /data/wet_out [--wet-files 64]]
 
 Scale shape: the WARC scan parallelizes one ~1 GB file per task (the
 crawl's own partitioning unit); extraction is an Arrow-batched pandas
@@ -47,6 +48,19 @@ def main() -> None:
         action="store_true",
         help="strip link-dense boilerplate blocks (extract_main_text) "
         "instead of full visible-text extraction",
+    )
+    ap.add_argument(
+        "--wet",
+        default=None,
+        help="also export the extracted text as Common-Crawl-style WET "
+        "(.wet.gz conversion records, one file per partition; each record "
+        "WARC-Refers-To its source response record)",
+    )
+    ap.add_argument(
+        "--wet-files",
+        type=int,
+        default=0,
+        help="repartition to this many WET files (0 = keep scan partitioning)",
     )
     ap.add_argument(
         "--lang-default",
@@ -90,6 +104,20 @@ def main() -> None:
     else:
         out.write.mode("overwrite").parquet(args.output)
         written = spark.read.parquet(args.output)
+    wet_report = None
+    if args.wet:
+        # export from the MATERIALIZED pages table (no second WARC parse)
+        from mashing_pumpkins_spark.sources.warc import write_wet_files
+
+        wet_in = written.select(
+            "url", "warc_ts", "text", F.col("record_id").alias("refers_to")
+        ).where(F.col("text").isNotNull())
+        if args.wet_files > 0:
+            wet_in = wet_in.repartition(args.wet_files)
+        wr = write_wet_files(wet_in, args.wet).agg(
+            F.count("*").alias("files"), F.sum("n_records").alias("records")
+        ).first()
+        wet_report = {"files": wr["files"], "records": wr["records"], "path": args.wet}
     stats = written.agg(
         F.count("*").alias("rows"),
         F.sum(F.col("text").isNull().cast("long")).alias("null_text_rows"),
@@ -103,6 +131,7 @@ def main() -> None:
                 "html_bytes": stats["html_bytes"],
                 "output": args.iceberg_table or args.output,
                 "main_content": bool(args.main_content),
+                "wet": wet_report,
             }
         )
     )

@@ -123,3 +123,88 @@ def test_spark_read_warc_pages(spark, tmp_path):
         ).collect()
     }
     assert ext == texts
+
+
+# --------------------------------------------------------------- WET
+
+
+def test_wet_roundtrip_gzip_members(tmp_path):
+    """write_wet -> iter_warc_records: conversion records carry the text
+    bytes VERBATIM (incl. multi-byte UTF-8), refers_to passes through."""
+    from mashing_pumpkins_spark.sources.warc import write_wet
+
+    pages = _pages(12).to_dict("records")
+    for i, row in enumerate(pages):
+        row["text"] = row["text"] + " — naïve café ✓" * (i % 3)
+        row["refers_to"] = f"<urn:uuid:ref-{i}>"
+    p = str(tmp_path / "f.wet.gz")
+    n = write_wet(p, pages)
+    assert n == 12
+    recs = [r for r in iter_warc_records(open(p, "rb").read())
+            if r["warc_type"] == "conversion"]
+    assert len(recs) == 12
+    by_url = {r["url"]: r for r in recs}
+    for i, row in enumerate(pages):
+        rec = by_url[row["url"]]
+        assert rec["text"] == row["text"]
+        assert rec["refers_to"] == f"<urn:uuid:ref-{i}>"
+        assert rec["html"] is None and rec["http_status"] is None
+        assert rec["record_id"].startswith("<urn:uuid:")
+
+
+def test_wet_and_response_record_ids_differ():
+    from mashing_pumpkins_spark.sources.warc import build_conversion_record
+
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    resp = build_response_record("https://x.example/a", ts, b"<p>x</p>")
+    conv = build_conversion_record("https://x.example/a", ts, b"x")
+    rid = lambda raw: [  # noqa: E731
+        ln for ln in raw.decode("latin-1").split("\r\n")
+        if ln.startswith("WARC-Record-ID")
+    ][0]
+    assert rid(resp) != rid(conv)
+    # determinism
+    assert conv == build_conversion_record("https://x.example/a", ts, b"x")
+
+
+def test_spark_wet_write_read_distributed(spark, tmp_path):
+    """The full WET export path: WARC ingest -> extraction -> distributed
+    write_wet_files (one file per partition, no shuffle) -> read_wet_pages
+    gives back byte-identical text per url."""
+    from pyspark.sql import functions as F
+
+    from mashing_pumpkins_spark.operators.extraction import extracted_text_col
+    from mashing_pumpkins_spark.sources.warc import read_wet_pages, write_wet_files
+
+    pages = _pages(40, seed=11)
+    write_pages_as_warc(pages, str(tmp_path / "warc"), n_files=4)
+    read = read_warc_pages(spark, str(tmp_path / "warc"))
+    extracted = read.select(
+        "url",
+        "warc_ts",
+        extracted_text_col(F.col("html")).alias("text"),
+        F.col("record_id").alias("refers_to"),
+    ).repartition(3)
+    report = write_wet_files(extracted, str(tmp_path / "wet")).collect()
+    assert sum(r.n_records for r in report) == 40
+    assert len(report) <= 3 and all(r.path.endswith(".wet.gz") for r in report)
+    back = read_wet_pages(spark, str(tmp_path / "wet"))
+    got = {r["url"]: r for r in back.collect()}
+    texts = pages.set_index("url")["text"].to_dict()
+    assert {u: r["text"] for u, r in got.items()} == texts
+    # refers_to links the conversion record to its response record
+    ids = {r["url"]: r["record_id"] for r in read.collect()}
+    assert all(got[u]["refers_to"] == ids[u] for u in texts)
+
+
+def test_wet_files_empty_partitions_produce_no_file(spark, tmp_path):
+    from mashing_pumpkins_spark.sources.warc import write_wet_files
+
+    df = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 2), "hello")],
+        "url string, warc_ts timestamp, text string",
+    ).repartition(4)
+    report = write_wet_files(df, str(tmp_path / "wet")).collect()
+    assert sum(r.n_records for r in report) == 1
+    files = list((tmp_path / "wet").glob("*.wet.gz"))
+    assert len(files) == len(report)
