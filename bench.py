@@ -265,6 +265,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "html_extraction",
         "main_content",
         "warc_roundtrip",
+        "warc_wet_roundtrip",
         "multimodal_features",
         # corpus-curation ops (pure JVM Column expressions)
         "passage_dedup_stats",

@@ -138,3 +138,51 @@ def test_star_schema_queries_broadcast_dims_and_push_filters(spark):
     # column pruning: the scan must not read unused l_partkey/l_comment
     read_schema = [l for l in splan.splitlines() if "ReadSchema" in l][0]
     assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_pagerank_plan_stays_flat_across_iterations(spark):
+    """The per-iteration localCheckpoint must keep the returned plan at
+    CONSTANT depth — without it the lineage (and Catalyst analysis time)
+    grows linearly with n_iter and a 50-iteration crawl ranking dies in
+    the optimizer. Guard: the executed-plan string for 6 iterations may
+    not be materially longer than for 2, and no Window/cartesian appears
+    anywhere in it (the iteration is one dst-keyed shuffle + aggregates)."""
+    from mashing_pumpkins_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 30) for i in range(30)] +
+        [(i, (i * 11 + 5) % 30) for i in range(30)],
+        "src long, dst long",
+    )
+    plans = {}
+    for n_iter in (2, 6):
+        out = pagerank(nodes, edges, n_iter=n_iter)
+        plans[n_iter] = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plans[6]
+    assert "CartesianProduct" not in plans[6]
+    assert "BroadcastNestedLoopJoin" not in plans[6]
+    # flat lineage: a checkpoint scan, not 6 chained join trees
+    assert len(plans[6]) < 2 * len(plans[2]), (len(plans[2]), len(plans[6]))
+
+
+def test_robots_lookup_winner_is_aggregate_not_window(spark):
+    """robots_allowed resolves the longest-match winner with a
+    max(struct) AGGREGATE (map-side combinable) keyed by (host, path) —
+    a Window over the frontier would single-task hot hosts at crawl
+    scale. parse_robots legitimately windows over per-host robots LINES
+    (KB-sized); the frontier-scaled lookup path must not."""
+    from mashing_pumpkins_spark.sources.robots import robots_allowed
+
+    rules = spark.createDataFrame(
+        [("h", "*", "disallow", "/x", 1), ("h", "*", "allow", "/x/y", 2)],
+        "host string, agent string, directive string, value string, rule_pos long",
+    )
+    frontier = spark.createDataFrame(
+        [("h", f"/x/{i}") for i in range(50)], "host string, path string"
+    )
+    out = robots_allowed(frontier, rules, "bot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Aggregate" in plan
