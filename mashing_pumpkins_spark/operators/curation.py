@@ -97,7 +97,8 @@ def curation_funnel(
     # benchmark-gram side inputs are aggregation/join branches here, and
     # they read the filtered base once.
     base_cols = [F.col(id_col), F.col(text_col)]
-    if url_col is not None:
+    extra_url = url_col is not None and url_col not in (id_col, text_col)
+    if extra_url:
         base_cols.append(F.col(url_col))
     flags = docs.select(*base_cols)
     specs: list[tuple[str, "F.Column"]] = [("input", F.lit(True))]
@@ -209,7 +210,7 @@ def curation_funnel(
         specs.append(("decontamination", F.col("_c")))
         last = "_c"
 
-    out_cols = [id_col, text_col] + ([url_col] if url_col is not None else [])
+    out_cols = [id_col, text_col] + ([url_col] if extra_url else [])
     survivors = flags.where(last).select(*out_cols)
 
     wc = whitespace_token_count(F.col(text_col))
