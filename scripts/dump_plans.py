@@ -94,6 +94,34 @@ def main() -> None:
     )
     sim_pairs = simhash_pairs_from_values(sim_vals, max_hamming=8, index="pair")
 
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+    from mashing_pumpkins_spark.sources.robots import parse_robots
+
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /no\n")],
+            "host string, body string",
+        )
+    )
+    gated_docs = pages.select(
+        "url",
+        "text",
+        F.concat(F.lit("http://h.example/"), F.col("url")).alias("page_url"),
+    )
+    g_funnel, _g_surv = curation_funnel(
+        gated_docs,
+        None,
+        id_col="url",
+        text_col="text",
+        url_col="page_url",
+        blocked_hosts=["bad.example"],
+        blocked_path_terms=["casino"],
+        robots_rules=robots,
+        agent="trainbot",
+        classifier_weights=[((b * 2654435761) % 1001) - 500 for b in range(256)],
+        classifier_min=0,
+    )
+
     sections = [
         (
             "sketch stage (mapInArrow)",
@@ -187,6 +215,18 @@ def main() -> None:
             "HashAggregates, so a boilerplate line occurring 10^9 times "
             "combines map-side instead of funneling into one task; "
             "reassembly is one groupBy on the doc id; no Python.",
+        ),
+        (
+            "gated curation funnel (round-6: url_filter + robots + classifier in ONE scan)",
+            g_funnel,
+            "Check: the whole 7-stage report is ONE aggregate over a "
+            "single base scan carrying cumulative flags — the url_filter "
+            "and classifier gates are pure Column expressions inside the "
+            "projection (no extra scan, no Python); robots admission and "
+            "passage stats attach as broadcast/equi-join side inputs that "
+            "read the filtered base once; no Window over documents except "
+            "the exact-dedup content-key window (one shuffle); the "
+            "classifier weight table is a plan literal (no weight join).",
         ),
         (
             "link extraction + degree stats (raw html, scan speed)",
