@@ -138,6 +138,12 @@ def main() -> None:
     from mashing_pumpkins_spark.sources.robots import parse_robots
     from mashing_pumpkins_spark.sources.synthetic import write_pages_parquet
 
+    # host calibration (this VM's CPU quota swings whole-run; see
+    # BENCH/BASELINE.md) — lets a reader normalize the wall times below
+    import bench as bench_mod
+
+    hw_probe = {"1": bench_mod._hw_probe(1), "4": bench_mod._hw_probe(4)}
+
     corpus_dir = os.path.join(args.workdir, f"pages_{args.pages}")
     t0 = time.monotonic()
     if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
@@ -225,6 +231,7 @@ def main() -> None:
         "metric": "sf1_funnel_soak",
         "pages": args.pages,
         "cpus": args.cpus,
+        "hw_probe_mb_per_sec": hw_probe,
         "gen_sec": round(gen_sec, 1),
         "funnel_report_sec": round(funnel_sec, 1),
         "survivors_write_sec": round(surv_sec, 1),
