@@ -185,12 +185,16 @@ def pagerank(
     ranks = ids.select("id", F.lit(base).cast("bigint").alias("rank")).persist()
     keep = 100 - damping_pct
     for _ in range(n_iter):
-        drow = (
+        # the dangling-rank sum rides INTO the iteration's single job as a
+        # broadcast 1-row aggregate (constant-key hash join, not a
+        # crossJoin/BNLJ) instead of a separate .first() action — one job
+        # per iteration, which at crawl scale halves driver round-trips
+        # and at sandbox scale halves scheduling overhead
+        dang = (
             dangling_ids.join(ranks, "id")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
-            .first()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang_sum"))
+            .select(F.lit(1).alias("_k"), "_dang_sum")
         )
-        dang_share = int(drow["s"]) // n
         # `div` is exact integer floor division — float `/` followed by a
         # cast would silently lose low bits above 2^53
         share = (
@@ -204,12 +208,15 @@ def pagerank(
         )
         new_ranks = (
             ids.join(contrib, "id", "left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(dang), "_k")
             .select(
                 "id",
                 F.expr(
                     f"cast(({keep} * cast({base} as bigint)"
                     f" + {damping_pct} * (coalesce(c, 0)"
-                    f" + cast({dang_share} as bigint))) div 100 as bigint)"
+                    f" + (_dang_sum div cast({n} as bigint)))) div 100"
+                    " as bigint)"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Probe-gated round-6 perf campaign: bench run1, re-gate, bench run2, re-gate, --scaling.
+cd /root/repo
+probe() { python3 -c "
+import bench
+p1 = bench._hw_probe(1); p4 = bench._hw_probe(4)
+print(f'{p1} {p4} {p4/max(p1,0.01):.2f}')
+"; }
+gate() { # $1 = max wait seconds
+  local waited=0
+  while true; do
+    read -r p1 p4 ratio <<< "$(probe)"
+    echo "GATE probe: 1p=$p1 4p=$p4 ratio=$ratio waited=${waited}s" >&2
+    ok=$(python3 -c "print(1 if float('$p1') >= 12.0 and float('$ratio') >= 2.8 else 0)")
+    if [ "$ok" = "1" ]; then echo "GATE PASS" >&2; return 0; fi
+    if [ "$waited" -ge "$1" ]; then echo "GATE TIMEOUT (running anyway)" >&2; return 1; fi
+    sleep 90; waited=$((waited+90+16))
+  done
+}
+
+echo "=== gate for bench run 1 ===" >&2
+gate 7200
+echo "=== bench run 1 ===" >&2
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r6_run1.out 2>/tmp/bench_r6_run1.err
+cp BENCH_local.json /tmp/BENCH_local_run1.json
+echo "run1 rc=$?" >&2
+
+echo "=== gate for bench run 2 ===" >&2
+gate 7200
+echo "=== bench run 2 ===" >&2
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r6_run2.out 2>/tmp/bench_r6_run2.err
+cp BENCH_local.json /tmp/BENCH_local_run2.json
+echo "run2 rc=$?" >&2
+
+echo "=== gate for scaling ===" >&2
+gate 7200
+echo "=== scaling ===" >&2
+timeout 3000 python bench.py --scaling > /tmp/bench_r6_scaling.out 2>/tmp/bench_r6_scaling.err
+echo "scaling rc=$?" >&2
+echo DONE
