@@ -1224,7 +1224,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mashing_pumpkins_spark.functions.classifier import hashed_ngram_score
     from mashing_pumpkins_spark.functions.textstats import whitespace_token_count
 
-    weights = [((b * 2654435761) % 1001) - 500 for b in range(256)]
+    from mashing_pumpkins_spark.functions.classifier import demo_weight_table
+
+    weights = demo_weight_table(256)
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
@@ -1354,7 +1356,9 @@ def q_curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     benchmark = docs.where(F.col("doc_id") % 10 == 0)
     train = docs.where(F.col("doc_id") % 10 != 0).withColumn("url", url)
-    weights = [((b * 2654435761) % 1001) - 500 for b in range(256)]
+    from mashing_pumpkins_spark.functions.classifier import demo_weight_table
+
+    weights = demo_weight_table(256)
     funnel, _survivors = curation_funnel(
         train,
         benchmark,

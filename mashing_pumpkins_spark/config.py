@@ -14,6 +14,16 @@ import json
 from dataclasses import asdict, dataclass, field
 
 
+
+def _config_hash(cfg) -> str:
+    """One hashing recipe for every frozen config dataclass: JSON of every
+    field, sorted keys, sha256[:16]. A single definition keeps the
+    manifest-hash format identical across Sketch/Pipeline/Curation configs
+    — divergent copies would silently desynchronize checkpoint gating."""
+    payload = json.dumps(asdict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
 @dataclass(frozen=True)
 class SketchConfig:
     """Canonical config per FIXTURES.md §3 (reference defaults)."""
@@ -32,8 +42,7 @@ class SketchConfig:
     canonical: str = "none"
 
     def config_hash(self) -> str:
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
-        return hashlib.sha256(payload).hexdigest()[:16]
+        return _config_hash(self)
 
 
 @dataclass(frozen=True)
@@ -113,8 +122,7 @@ class PipelineConfig:
         # changes band keys, band_group_cap changes candidate pairs,
         # min_doc_bytes changes extract) must invalidate checkpoints —
         # resuming across a semantic change would silently give wrong clusters
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
-        return hashlib.sha256(payload).hexdigest()[:16]
+        return _config_hash(self)
 
 
 @dataclass(frozen=True)
@@ -142,8 +150,7 @@ class CurationConfig:
     classifier_min: int = 0
 
     def config_hash(self) -> str:
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
-        return hashlib.sha256(payload).hexdigest()[:16]
+        return _config_hash(self)
 
     def funnel_kwargs(self) -> dict:
         """kwargs for curation_funnel (the robots table itself is loaded

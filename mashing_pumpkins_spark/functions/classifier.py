@@ -57,3 +57,13 @@ def hashed_ngram_score(text: Column, weights: Sequence[int]) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + F.element_at(wt, (token_bucket(t, n) + 1).cast("int")),
     )
+
+def demo_weight_table(n_buckets: int = 256) -> list[int]:
+    """The deterministic demo/gate weight table used by the gated-funnel
+    query, plan dumps and the sf1 soak: Knuth-multiplicative spread of the
+    bucket id into [-500, 500]. ONE definition here — the SQL oracles
+    re-derive the same arithmetic textually on purpose (independent
+    replay), but every engine-side consumer must share this helper or a
+    recipe edit would let the soak/plan-dump exercise a different model
+    than the gate query."""
+    return [((b * 2654435761) % 1001) - 500 for b in range(n_buckets)]

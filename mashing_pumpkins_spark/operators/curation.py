@@ -122,7 +122,11 @@ def curation_funnel(
         from ..sources.robots import robots_allowed
 
         pq = _path_query(F.col(url_col))
-        frontier = flags.select(
+        # only current survivors enter the robots lookup — its per-rule
+        # regex match and (host,path) winner aggregation are the funnel's
+        # costliest side branch, and a doc already cut upstream ends up
+        # with _rb = gate & ... = false regardless of the lookup result
+        frontier = flags.where(gate).select(
             F.col(id_col),
             host_of(F.col(url_col)).alias("_rb_host"),
             # RFC 9309: an empty path is matched as '/'

@@ -39,6 +39,7 @@ from typing import Iterable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -311,7 +312,10 @@ def write_wet(
     one WET file — conversion records whose body is the extracted text
     UTF-8 bytes verbatim. Same container conventions as write_warc
     (per-record gzip members, leading warcinfo). Returns the record
-    count (excluding warcinfo)."""
+    count (excluding warcinfo). Naive warc_ts values are taken as UTC
+    instants; a null text raises — a silently-written "None" body would
+    break the byte-identity invariant (callers that can hold nulls must
+    filter first, as write_wet_files does)."""
     n = 0
     with open(path, "wb") as fh:
         def emit(raw: bytes) -> None:
@@ -321,6 +325,10 @@ def write_wet(
         if warcinfo:
             emit(build_warcinfo_record(first_ts, "software: mashing-pumpkins-spark\r\nformat: WARC conversion (WET)"))
         for page in pages:
+            if page["text"] is None:
+                raise ValueError(
+                    f"WET conversion record needs non-null text (url={page.get('url')!r})"
+                )
             ts = page["warc_ts"]
             if isinstance(ts, pd.Timestamp):
                 ts = ts.to_pydatetime()
@@ -345,17 +353,36 @@ def write_wet_files(
     mapInPandas (the Common Crawl layout — files are the parallelism
     unit on both write and read). Input columns: url, warc_ts, text,
     optional refers_to. Returns a (path, n_records) DataFrame; empty
-    partitions produce no file.
+    partitions produce no file. Rows with null text are skipped (no
+    conversion record — the CC convention for pages with no extractable
+    text). warc_ts ships to the workers as JVM-computed epoch
+    microseconds, NOT as a pandas timestamp: Arrow delivers TIMESTAMP
+    columns to pandas as SESSION-LOCAL-naive wall times, which the
+    writer would then mislabel as UTC on any non-UTC session.
 
-    Scale shape: no shuffle — each task streams its partition straight
-    to its own file; re-partition upstream to choose file count/size
-    (CC WET shards are ~150 MB compressed)."""
+    Scale shape: no shuffle — each task streams its partition batch by
+    batch straight to its own file (never materializing the partition);
+    re-partition upstream to choose file count/size (CC WET shards are
+    ~150 MB compressed)."""
+    import itertools
     import pathlib
 
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(pages.schema["warc_ts"].dataType, TimestampNTZType):
+        raise TypeError(
+            "write_wet_files needs an instant (TIMESTAMP) warc_ts column; "
+            "convert TIMESTAMP_NTZ explicitly (state which zone the naive "
+            "values are in) before exporting"
+        )
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     ext = "wet.gz" if gzip_per_record else "wet"
     has_refers = "refers_to" in pages.columns
-    cols = ["url", "warc_ts", "text"] + (["refers_to"] if has_refers else [])
+    cols = [
+        F.col("url"),
+        F.unix_micros(F.col("warc_ts")).alias("_ts_us"),
+        F.col("text"),
+    ] + ([F.col("refers_to")] if has_refers else [])
     out_schema = StructType(
         [StructField("path", StringType()), StructField("n_records", LongType())]
     )
@@ -365,18 +392,36 @@ def write_wet_files(
 
         pid = TaskContext.get().partitionId()
         path = str(pathlib.Path(out_dir) / f"part-{pid:05d}.{ext}")
-        rows: list[dict] = []
-        for pdf in batches:
-            rows.extend(pdf.to_dict("records"))
-        if not rows:
+
+        def gen() -> Iterator[dict]:
+            for pdf in batches:
+                ts = pd.to_datetime(pdf["_ts_us"], unit="us", utc=True)
+                for i in range(len(pdf)):
+                    rec = {
+                        "url": pdf["url"].iat[i],
+                        "warc_ts": ts.iat[i],
+                        "text": pdf["text"].iat[i],
+                    }
+                    if has_refers:
+                        rec["refers_to"] = pdf["refers_to"].iat[i]
+                    yield rec
+
+        it = gen()
+        try:
+            first = next(it)
+        except StopIteration:
             yield pd.DataFrame({"path": [], "n_records": []}).astype(
                 {"path": "string", "n_records": "int64"}
             )
             return
-        n = write_wet(path, rows, gzip_per_record=gzip_per_record)
+        n = write_wet(
+            path, itertools.chain([first], it), gzip_per_record=gzip_per_record
+        )
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
-    return pages.select(*cols).mapInPandas(_write, out_schema)
+    return pages.where(F.col("text").isNotNull()).select(*cols).mapInPandas(
+        _write, out_schema
+    )
 
 
 def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:

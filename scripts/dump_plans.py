@@ -23,6 +23,7 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.functions.classifier import demo_weight_table
     from mashing_pumpkins_spark.operators.banding import band_table
     from mashing_pumpkins_spark.operators.candidates import candidate_pairs
     from mashing_pumpkins_spark.operators.signature import sketch_table
@@ -118,7 +119,7 @@ def main() -> None:
         blocked_path_terms=["casino"],
         robots_rules=robots,
         agent="trainbot",
-        classifier_weights=[((b * 2654435761) % 1001) - 500 for b in range(256)],
+        classifier_weights=demo_weight_table(256),
         classifier_min=0,
     )
 

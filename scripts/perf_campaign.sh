@@ -22,15 +22,17 @@ echo "=== gate for bench run 1 ===" >&2
 gate 7200
 echo "=== bench run 1 ===" >&2
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r6_run1.out 2>/tmp/bench_r6_run1.err
+rc=$?
 cp BENCH_local.json /tmp/BENCH_local_run1.json
-echo "run1 rc=$?" >&2
+echo "run1 rc=$rc" >&2
 
 echo "=== gate for bench run 2 ===" >&2
 gate 7200
 echo "=== bench run 2 ===" >&2
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r6_run2.out 2>/tmp/bench_r6_run2.err
+rc=$?
 cp BENCH_local.json /tmp/BENCH_local_run2.json
-echo "run2 rc=$?" >&2
+echo "run2 rc=$rc" >&2
 
 echo "=== gate for scaling ===" >&2
 gate 7200

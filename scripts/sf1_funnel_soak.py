@@ -39,11 +39,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mashing_pumpkins_spark.functions.classifier import demo_weight_table  # noqa: E402
+
 BLOCKED_HOSTS = ["site0007.example", "site0013.example", "site0042.example"]
 ROBOTS_MOD = 5
 ROBOTS_REM = 2
 N_BUCKETS = 256
-WEIGHTS = [((b * 2654435761) % 1001) - 500 for b in range(N_BUCKETS)]
+WEIGHTS = demo_weight_table(N_BUCKETS)
 
 
 def _robots_bodies(spark):

@@ -208,3 +208,65 @@ def test_wet_files_empty_partitions_produce_no_file(spark, tmp_path):
     assert sum(r.n_records for r in report) == 1
     files = list((tmp_path / "wet").glob("*.wet.gz"))
     assert len(files) == len(report)
+
+
+def test_wet_warc_date_is_instant_correct_on_non_utc_session(spark, tmp_path):
+    """Arrow hands TIMESTAMP columns to pandas as SESSION-LOCAL-naive wall
+    times; the writer must not relabel those as UTC. Regression: with a
+    New York session timezone an input instant of 12:00Z was written as
+    WARC-Date 07:00Z. write_wet_files ships epoch micros instead, so the
+    on-disk date and the read-back instant equal the input instant
+    regardless of session zone."""
+    from datetime import timezone as _tz
+
+    from mashing_pumpkins_spark.sources.warc import read_wet_pages, write_wet_files
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("u1", datetime(2024, 1, 1, 12, 0, 0, tzinfo=_tz.utc), "hello")],
+            "url string, warc_ts timestamp, text string",
+        )
+        write_wet_files(df, str(tmp_path / "wet")).collect()
+        # the on-disk header carries the true instant
+        import gzip as _gzip
+
+        blobs = b"".join(
+            _gzip.open(p, "rb").read()
+            for p in sorted((tmp_path / "wet").glob("*.wet.gz"))
+        )
+        assert b"WARC-Date: 2024-01-01T12:00:00Z" in blobs
+        back = read_wet_pages(spark, str(tmp_path / "wet")).collect()
+        got = back[0]["warc_ts"]
+        # collected timestamps are session-naive; compare as epoch seconds
+        df2 = spark.createDataFrame(
+            [(got,)], "ts timestamp"
+        ).selectExpr("unix_micros(ts) as us")
+        assert df2.first()["us"] == 1704110400_000000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_wet_null_text_rows_are_skipped_and_plain_writer_raises(spark, tmp_path):
+    """write_wet_files drops null-text rows (no conversion record, the CC
+    convention); the dict-level write_wet refuses them outright — a
+    silent str(None) body would corrupt the byte-identity invariant."""
+    import pytest as _pytest
+
+    from mashing_pumpkins_spark.sources.warc import write_wet, write_wet_files
+
+    df = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 2), "hello"),
+            ("u2", datetime(2024, 1, 2), None),
+        ],
+        "url string, warc_ts timestamp, text string",
+    ).coalesce(1)
+    report = write_wet_files(df, str(tmp_path / "wet")).collect()
+    assert sum(r.n_records for r in report) == 1
+    with _pytest.raises(ValueError, match="non-null text"):
+        write_wet(
+            str(tmp_path / "x.wet.gz"),
+            [{"url": "u", "warc_ts": datetime(2024, 1, 2), "text": None}],
+        )
