@@ -783,7 +783,8 @@ def run_scaling() -> dict:
         "read-back. Real-size ceiling, measured per run and recorded in "
         "the bench JSON as `jpeg_decode_realsize` (640x480 photo-like "
         "payloads, grayscale + RGB 4:2:0, 64 images across 16 tasks): "
-        "~4.2 megapixels/s total, ~0.85 MB/s compressed on this host — "
+        "4.2-7.3 megapixels/s total (0.85-1.48 MB/s compressed) across "
+        "recorded host states — "
         "single-core decode is ~1.5 MP/s gray / 0.7 MP/s RGB420 "
         "(Huffman bit-walk + batched-matmul IDCT in numpy). Budget math "
         "at 100 TB: a crawl's ~100 KB median JPEG at ~0.25 MP decodes in "
@@ -841,7 +842,24 @@ def run_scaling() -> dict:
         "capacity swing (staged credit recovery: 1- and 4-proc probes "
         "read healthy while 16-32-thread capacity is halved) moving "
         "entries in BOTH directions. Within a run, entry order no longer "
-        "biases timings; across runs, compare headline-normalized ratios.\n"
+        "biases timings; across runs, compare headline-normalized ratios.\n\n"
+        "Round-6 campaign (scaling first, then two probe-gated full-list "
+        "runs minutes apart; scripts/perf_campaign.sh): run 1 (start "
+        "probe 14.2/47.2, end 12.5, zero gap waits) headline 2,568 "
+        "docs/s; run 2 (start probe READ 3.5/6.6 although the gate had "
+        "measured 12.3/38.9 seconds earlier — another instance of probe "
+        "swing) headline 2,811 docs/s, BEATING run 1 despite the "
+        "degraded reading. Median per-query run2/run1 ratio 1.19, "
+        "positionally flat (first-half mean 1.21 vs second-half 1.21 — "
+        "the round-4 tail collapse stays gone); 40/77 entries within "
+        "1.3x with the spread in BOTH directions (0.44x repetition_stats "
+        "to 2.2x pipeline_clusters_flow). An earlier same-day gated run "
+        "recorded 3,001 docs/s (probe 12.8/50.5) — the round-6 gated "
+        "band is 2,568-3,001 docs/s on hosts reading 10.9-15.2 MB/s "
+        "1-proc. The round-5 4,547 docs/s best required a sustained "
+        "15-18 MB/s host state never observed this round (the plateau "
+        "was 9-15 for hours); read BENCH_r*.json per-query best across "
+        "matching-probe runs, with any single run a lower bound.\n"
     )
     out["sketch_mb_per_sec"] = sketch_mb
     out["kernel_mb_per_sec_single_core"] = kernel_mb
