@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp with atexit cleanup: roundtrip queries return LAZY frames
+    that read from the dir at driver-collect time, so an inline
+    try/finally would delete the fixture before the driver scans it;
+    atexit reclaims it at process exit instead of leaking a corpus copy
+    to /tmp per bench/oracle invocation."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -432,7 +446,7 @@ def q_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     clusters, _ = run_pipeline(
-        spark, pages, cfg, tempfile.mkdtemp(prefix="mp_spark_ckpt_")
+        spark, pages, cfg, _tmpdir("mp_spark_ckpt_")
     )
     return clusters.orderBy("url")
 
@@ -462,7 +476,7 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     clusters, _ = run_pipeline(
-        spark, pages, cfg, tempfile.mkdtemp(prefix="mp_spark_cq_")
+        spark, pages, cfg, _tmpdir("mp_spark_cq_")
     )
     sigs = with_signature(pages, cfg.sketch, "text").select("url", "sig")
     return cluster_quality_report(clusters, sigs)
@@ -881,7 +895,7 @@ def q_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     clusters, _ = run_pipeline(
-        spark, pages, cfg, tempfile.mkdtemp(prefix="mp_spark_df_")
+        spark, pages, cfg, _tmpdir("mp_spark_df_")
     )
     return finalize_dedup(clusters, pages)
 
@@ -1816,44 +1830,50 @@ def q_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _warc_fixture_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC-fixture synthesis: (url, warc_ts, html) built with
+    Column algebra + the Arrow-batched HTML renderer — no driver-side
+    toPandas / per-row loop (the round-6 audit note). Timestamps are
+    2024-01-01T00:00:00Z + doc_id*61 s, same arithmetic the oracles
+    replay (epoch 1704067200)."""
+    from mashing_pumpkins_spark.operators.extraction import rendered_html_col
+
+    url = F.concat(
+        F.lit("https://warc.example/doc-"), F.col("doc_id").cast("string")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .select(
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 61).alias(
+                "warc_ts"
+            ),
+            rendered_html_col(F.col("text"), url).alias("html"),
+        )
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest edge (the Common Crawl container format): documents are
-    rendered to HTML pages and serialized as sharded .warc.gz files
-    (per-record gzip members, warcinfo header, HTTP response framing —
-    the crawl layout), then read back DISTRIBUTED via the binaryFile +
-    mapInPandas source and parsed: WARC framing, HTTP split, text
-    extraction. The driver-side write is deterministic fixture synthesis
-    (as with the planted JPEG/PNG payloads); the operator under test is
-    the read path. Oracle replays the byte-identity invariant off the
-    text column (md5(text)) plus the planted status/timestamp arithmetic."""
-    import tempfile
-
-    import pandas as pd
-
-    from mashing_pumpkins_spark.operators.extraction import (
-        extracted_text_col,
-        render_html,
-    )
+    rendered to HTML pages DISTRIBUTED (Column algebra + Arrow-batched
+    renderer), exported as one .warc.gz per partition via
+    write_warc_files (per-record gzip members, warcinfo header, HTTP
+    response framing — the crawl layout), then read back distributed via
+    the binaryFile + mapInPandas source and parsed: WARC framing, HTTP
+    split, text extraction. Oracle replays the byte-identity invariant
+    off the text column (md5(text)) plus the planted status/timestamp
+    arithmetic."""
+    from mashing_pumpkins_spark.operators.extraction import extracted_text_col
     from mashing_pumpkins_spark.sources.warc import (
         read_warc_pages,
-        write_pages_as_warc,
+        write_warc_files,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
-    docs = docs.sort_values("doc_id").reset_index(drop=True)
-    urls = "https://warc.example/doc-" + docs["doc_id"].astype(str)
-    pages = pd.DataFrame(
-        {
-            "url": urls,
-            "warc_ts": pd.to_datetime("2024-01-01", utc=True)
-            + pd.to_timedelta(docs["doc_id"] * 61, unit="s"),
-            "html": [
-                render_html(t, u) for t, u in zip(docs["text"], urls)
-            ],
-        }
-    )
-    out_dir = tempfile.mkdtemp(prefix="mp_spark_warc_")
-    write_pages_as_warc(pages, out_dir, n_files=8)
+    out_dir = _tmpdir("mp_spark_warc_")
+    write_warc_files(
+        _warc_fixture_pages(spark, sf_dir).repartition(8), out_dir
+    ).collect()
     read = read_warc_pages(spark, out_dir)
     return (
         read.select(
@@ -1878,37 +1898,19 @@ def q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's md5(text) over the original documents table certifies the
     byte-identity invariant end to end; has_refers pins the
     WARC-Refers-To link back to each response record."""
-    import tempfile
-
-    import pandas as pd
-
-    from mashing_pumpkins_spark.operators.extraction import (
-        extracted_text_col,
-        render_html,
-    )
+    from mashing_pumpkins_spark.operators.extraction import extracted_text_col
     from mashing_pumpkins_spark.sources.warc import (
         read_warc_pages,
         read_wet_pages,
-        write_pages_as_warc,
+        write_warc_files,
         write_wet_files,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text").toPandas()
-    docs = docs.sort_values("doc_id").reset_index(drop=True)
-    urls = "https://warc.example/doc-" + docs["doc_id"].astype(str)
-    pages = pd.DataFrame(
-        {
-            "url": urls,
-            "warc_ts": pd.to_datetime("2024-01-01", utc=True)
-            + pd.to_timedelta(docs["doc_id"] * 61, unit="s"),
-            "html": [
-                render_html(t, u) for t, u in zip(docs["text"], urls)
-            ],
-        }
-    )
-    warc_dir = tempfile.mkdtemp(prefix="mp_spark_wetsrc_")
-    wet_dir = tempfile.mkdtemp(prefix="mp_spark_wetout_")
-    write_pages_as_warc(pages, warc_dir, n_files=8)
+    warc_dir = _tmpdir("mp_spark_wetsrc_")
+    wet_dir = _tmpdir("mp_spark_wetout_")
+    write_warc_files(
+        _warc_fixture_pages(spark, sf_dir).repartition(8), warc_dir
+    ).collect()
     extracted = read_warc_pages(spark, warc_dir).select(
         "url",
         "warc_ts",

@@ -94,7 +94,8 @@ def build_response_record(
         f"WARC-Target-URI: {url}\r\n"
         "Content-Type: application/http;msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")  # WARC/1.0 headers are UTF-8 (ISO 28500 §5.1); real
+    # crawls carry non-ASCII IRIs in WARC-Target-URI, ascii would raise
     return head + http + _CRLF + _CRLF
 
 
@@ -116,7 +117,7 @@ def build_conversion_record(
         f"WARC-Target-URI: {url}\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {len(text)}\r\n\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")  # UTF-8 headers, same rationale as build_response_record
     return head + text + _CRLF + _CRLF
 
 
@@ -130,7 +131,7 @@ def build_warcinfo_record(ts: datetime, info: str = "software: mashing-pumpkins-
         f"WARC-Date: {warc_date}\r\n"
         "Content-Type: application/warc-fields\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")
     return head + body + _CRLF + _CRLF
 
 
@@ -159,7 +160,11 @@ def write_warc(
                 ts = ts.to_pydatetime()
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
-            emit(build_response_record(page["url"], ts, bytes(page["html"])))
+            emit(
+                build_response_record(
+                    page["url"], ts, bytes(page["html"]), status=page.get("status", 200)
+                )
+            )
             n += 1
     return n
 
@@ -260,8 +265,17 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
             rec["http_status"] = status
             rec["html"] = html
         elif rec["warc_type"] == "conversion":
-            # WET record: the block IS the extracted text, bytes verbatim
-            rec["text"] = body.decode("utf-8")
+            # WET record: the block IS the extracted text, bytes verbatim.
+            # Invalid UTF-8 in an externally produced WET file must follow
+            # the documented malformed-framing contract (ValueError ->
+            # quarantine), not leak UnicodeDecodeError past it.
+            try:
+                rec["text"] = body.decode("utf-8")
+            except UnicodeDecodeError as exc:
+                raise ValueError(
+                    f"conversion record body is not valid UTF-8 "
+                    f"(url={rec['url']!r}): {exc}"
+                ) from exc
         yield rec
 
 
@@ -346,6 +360,114 @@ def write_wet(
     return n
 
 
+def _distributed_container_export(
+    pages: DataFrame,
+    out_dir: str,
+    ext: str,
+    select_cols: list,
+    row_to_page,
+    file_writer,
+) -> DataFrame:
+    """Shared machinery for write_wet_files / write_warc_files: one
+    container file per input partition via mapInPandas, streamed batch by
+    batch (a partition is never materialized), with a task-commit
+    protocol — each attempt writes an attempt-unique ._tmp name and
+    atomically renames on success, so speculative/retried attempts never
+    interleave and a killed job leaves only ._tmp files, never a partial
+    output indistinguishable from a complete one."""
+    import itertools
+    import pathlib
+
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    out_schema = StructType(
+        [StructField("path", StringType()), StructField("n_records", LongType())]
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        path = str(pathlib.Path(out_dir) / f"part-{pid:05d}.{ext}")
+        tmp_path = f"{path}._tmp-attempt-{tc.attemptNumber()}-{tc.taskAttemptId()}"
+
+        def gen() -> Iterator[dict]:
+            for pdf in batches:
+                ts = pd.to_datetime(pdf["_ts_us"], unit="us", utc=True)
+                for i in range(len(pdf)):
+                    yield row_to_page(pdf, i, ts)
+
+        it = gen()
+        try:
+            first = next(it)
+        except StopIteration:
+            yield pd.DataFrame({"path": [], "n_records": []}).astype(
+                {"path": "string", "n_records": "int64"}
+            )
+            return
+        try:
+            n = file_writer(tmp_path, itertools.chain([first], it))
+            os.replace(tmp_path, path)
+        except BaseException:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+            raise
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    return pages.select(*select_cols).mapInPandas(_write, out_schema)
+
+
+def write_warc_files(
+    pages: DataFrame, out_dir: str, gzip_per_record: bool = True
+) -> DataFrame:
+    """Distributed WARC export: one .warc(.gz) file per input partition —
+    response records wrapping each (url, warc_ts, html) page. Input
+    columns: url, warc_ts (TIMESTAMP instant), html (binary), optional
+    http_status. Returns a (path, n_records) DataFrame; empty partitions
+    produce no file. Same no-shuffle / task-commit / JVM-epoch-micros
+    contract as write_wet_files (see that docstring); repartition
+    upstream to pick file count (Common Crawl convention ~1 GB/file)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(pages.schema["warc_ts"].dataType, TimestampNTZType):
+        raise TypeError(
+            "write_warc_files needs an instant (TIMESTAMP) warc_ts column; "
+            "convert TIMESTAMP_NTZ explicitly before exporting"
+        )
+    has_status = "http_status" in pages.columns
+    cols = [
+        F.col("url"),
+        F.unix_micros(F.col("warc_ts")).alias("_ts_us"),
+        F.col("html"),
+    ] + ([F.col("http_status")] if has_status else [])
+
+    def row_to_page(pdf: pd.DataFrame, i: int, ts) -> dict:
+        rec = {
+            "url": pdf["url"].iat[i],
+            "warc_ts": ts.iat[i],
+            "html": bytes(pdf["html"].iat[i]),
+        }
+        if has_status:
+            rec["status"] = int(pdf["http_status"].iat[i])
+        return rec
+
+    def file_writer(path: str, pages_iter: Iterator[dict]) -> int:
+        return write_warc(path, pages_iter, gzip_per_record=gzip_per_record)
+
+    return _distributed_container_export(
+        pages.where(F.col("html").isNotNull()),
+        out_dir,
+        "warc.gz" if gzip_per_record else "warc",
+        cols,
+        row_to_page,
+        file_writer,
+    )
+
+
 def write_wet_files(
     pages: DataFrame, out_dir: str, gzip_per_record: bool = True
 ) -> DataFrame:
@@ -364,9 +486,6 @@ def write_wet_files(
     batch straight to its own file (never materializing the partition);
     re-partition upstream to choose file count/size (CC WET shards are
     ~150 MB compressed)."""
-    import itertools
-    import pathlib
-
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(pages.schema["warc_ts"].dataType, TimestampNTZType):
@@ -375,52 +494,33 @@ def write_wet_files(
             "convert TIMESTAMP_NTZ explicitly (state which zone the naive "
             "values are in) before exporting"
         )
-    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
-    ext = "wet.gz" if gzip_per_record else "wet"
     has_refers = "refers_to" in pages.columns
     cols = [
         F.col("url"),
         F.unix_micros(F.col("warc_ts")).alias("_ts_us"),
         F.col("text"),
     ] + ([F.col("refers_to")] if has_refers else [])
-    out_schema = StructType(
-        [StructField("path", StringType()), StructField("n_records", LongType())]
-    )
 
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
+    def row_to_page(pdf: pd.DataFrame, i: int, ts) -> dict:
+        rec = {
+            "url": pdf["url"].iat[i],
+            "warc_ts": ts.iat[i],
+            "text": pdf["text"].iat[i],
+        }
+        if has_refers:
+            rec["refers_to"] = pdf["refers_to"].iat[i]
+        return rec
 
-        pid = TaskContext.get().partitionId()
-        path = str(pathlib.Path(out_dir) / f"part-{pid:05d}.{ext}")
+    def file_writer(path: str, pages_iter: Iterator[dict]) -> int:
+        return write_wet(path, pages_iter, gzip_per_record=gzip_per_record)
 
-        def gen() -> Iterator[dict]:
-            for pdf in batches:
-                ts = pd.to_datetime(pdf["_ts_us"], unit="us", utc=True)
-                for i in range(len(pdf)):
-                    rec = {
-                        "url": pdf["url"].iat[i],
-                        "warc_ts": ts.iat[i],
-                        "text": pdf["text"].iat[i],
-                    }
-                    if has_refers:
-                        rec["refers_to"] = pdf["refers_to"].iat[i]
-                    yield rec
-
-        it = gen()
-        try:
-            first = next(it)
-        except StopIteration:
-            yield pd.DataFrame({"path": [], "n_records": []}).astype(
-                {"path": "string", "n_records": "int64"}
-            )
-            return
-        n = write_wet(
-            path, itertools.chain([first], it), gzip_per_record=gzip_per_record
-        )
-        yield pd.DataFrame({"path": [path], "n_records": [n]})
-
-    return pages.where(F.col("text").isNotNull()).select(*cols).mapInPandas(
-        _write, out_schema
+    return _distributed_container_export(
+        pages.where(F.col("text").isNotNull()),
+        out_dir,
+        "wet.gz" if gzip_per_record else "wet",
+        cols,
+        row_to_page,
+        file_writer,
     )
 
 

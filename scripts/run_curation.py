@@ -35,6 +35,22 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def _write_manifest(spark, uri: str, payload: dict) -> None:
+    """Write manifest.json through the Hadoop FileSystem API so it lands
+    beside the parquet outputs under ANY URI scheme (s3a://, hdfs://,
+    file:...). A driver-local pathlib write would put it on the driver's
+    local disk at a mangled path for non-local --output URIs."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(json.dumps(payload, indent=1).encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="input documents parquet path")
@@ -117,11 +133,10 @@ def main() -> None:
     )
     out = args.output.rstrip("/")
     survivors.write.mode("overwrite").parquet(f"{out}/survivors")
-    pathlib.Path(f"{out}/manifest.json").parent.mkdir(parents=True, exist_ok=True)
-    pathlib.Path(f"{out}/manifest.json").write_text(json.dumps({
+    _write_manifest(spark, f"{out}/manifest.json", {
         "curation_config_hash": cur_cfg.config_hash(),
         "near_dup_config_hash": near_dup.config_hash() if near_dup else None,
-    }, indent=1))
+    })
     funnel.write.mode("overwrite").parquet(f"{out}/funnel")
     for row in spark.read.parquet(f"{out}/funnel").orderBy("stage_idx").collect():
         print(json.dumps(row.asDict(), default=str))
