@@ -270,7 +270,7 @@ def encode_png(img: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
     )
 
 
-def decode_image(payload: bytes) -> np.ndarray:
+def decode_image(payload: bytes, jpeg_backend: str | None = None) -> np.ndarray:
     """Decode a binary image in pure numpy: netpbm (PGM ``P5`` -> HxW,
     PPM ``P6`` -> HxWx3; 8-bit or 16-bit big-endian), PNG (stdlib-zlib
     DEFLATE — see decode_png) and JPEG — baseline and progressive (see
@@ -284,9 +284,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from .jpegcodec import decode_jpeg
+        # pluggable: Pillow/libjpeg-turbo when importable on the worker,
+        # pure-numpy fallback otherwise (jpegcodec.decode_jpeg_auto) —
+        # same null-row contract and bomb cap either way
+        from .jpegcodec import decode_jpeg_auto
 
-        return decode_jpeg(payload)
+        return decode_jpeg_auto(payload, backend=jpeg_backend)
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise NotImplementedError(
@@ -591,12 +594,16 @@ def image_summary(
     url_col: str = "url",
     payload_col: str = "payload",
     thumb: int | None = None,
+    jpeg_backend: str | None = None,
 ) -> DataFrame:
     """Decode netpbm payloads (decode_image) per Arrow batch and report
     (width, height, channels, mean intensity); with `thumb` set, stats
     come from a nearest-neighbor thumbnail instead (the decode -> resize
     -> featurize shape of a real image pipeline). Undecodable payloads
-    yield null dimensions rather than failing the batch."""
+    yield null dimensions rather than failing the batch. ``jpeg_backend``
+    pins the JPEG decoder ("pure" | "pillow") — the string ships to
+    workers inside the UDF closure, so it works identically on a cluster;
+    None auto-detects per worker (jpegcodec.jpeg_backend)."""
     narrow = df.select(url_col, payload_col)
 
     def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -604,7 +611,7 @@ def image_summary(
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 try:
-                    img = decode_image(payload)
+                    img = decode_image(payload, jpeg_backend=jpeg_backend)
                 except (NotImplementedError, ValueError):
                     rows.append((url, None, None, None, None))
                     continue
