@@ -11,7 +11,75 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 from dataclasses import asdict, dataclass, field
+
+
+def banding_p_hit(tau: float, n_bands: int, rows_per_band: int) -> float:
+    """S-curve value at similarity ``tau``: probability a pair whose
+    sketch Jaccard is tau shares at least one band key,
+    1 - (1 - tau^r)^b."""
+    return 1.0 - (1.0 - tau**rows_per_band) ** n_bands
+
+
+def choose_banding(
+    tau: float,
+    p_hit_target: float = 0.99,
+    bg_jaccard: float = 0.3,
+    max_components: int = 256,
+    max_rows: int = 32,
+) -> tuple[int, int]:
+    """Pick (n_bands, rows_per_band) for an LSH threshold ``tau`` by
+    minimizing expected verify cost subject to p_hit(tau) >= target.
+
+    For each rows-per-band r, the cheapest feasible band count is the
+    minimal b with 1-(1-tau^r)^b >= p_hit_target (pairs AT the threshold
+    must surface directly — the round-5 sweep showed recall on tau-edge
+    pairs collapses when the implied threshold sits above tau). Among
+    feasible (b, r) the chooser minimizes b * bg_jaccard^r — the expected
+    number of bands a BACKGROUND pair at similarity bg_jaccard fires,
+    i.e. the false-candidate volume the exact-Jaccard verify stage pays
+    for (candidate precision at the fixed 32x8 was 0.41: 2.5x the verify
+    work of a tighter choice at the same recall). bg_jaccard=0.3 is a
+    hard background (real crawl non-dup mass sits lower; a higher value
+    only pushes the choice toward larger r, never below the recall
+    floor). Ties break to fewer total components b*r (banding CPU), then
+    fewer bands. b*r is capped at ``max_components`` — the banding stage
+    computes b*r multiply-shift minima per doc, so the cap bounds
+    banding CPU; PipelineConfig passes its band_input_k.
+
+    Pure arithmetic — same inputs, same choice, on any machine:
+      tau=0.8  -> (26, 8)   p_hit 0.9915, 26/32 the verify cost of 32x8
+      tau=0.7  -> (37, 6)
+      tau=0.9  -> (18, 14)
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if not 0.0 < p_hit_target < 1.0:
+        raise ValueError(f"p_hit_target must be in (0, 1), got {p_hit_target}")
+    if not 0.0 <= bg_jaccard < tau:
+        raise ValueError(
+            f"bg_jaccard must be in [0, tau), got {bg_jaccard} (tau={tau})"
+        )
+    best_key: tuple | None = None
+    best: tuple[int, int] | None = None
+    for r in range(1, max_rows + 1):
+        p = tau**r
+        if p >= 1.0:  # tau == 1: identical sketches match any band
+            b = 1
+        else:
+            b = max(1, math.ceil(math.log(1.0 - p_hit_target) / math.log(1.0 - p)))
+        if b * r > max_components:
+            continue
+        key = (b * (bg_jaccard**r), b * r, b)
+        if best_key is None or key < best_key:
+            best_key, best = key, (b, r)
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) meets p_hit({tau}) >= {p_hit_target} within "
+            f"{max_components} components; raise max_components or lower the target"
+        )
+    return best
 
 
 
@@ -51,15 +119,17 @@ class PipelineConfig:
     # LSH banding: n_bands OPH multiply-shift rehash keys per doc, each key
     # digesting rows_per_band dense-OPH slots of the sketch contents
     # (operators/banding.py — NOT a sorted-prefix split).
-    # Default 32x8 (round-5): the banding sweep (scripts/banding_sweep.py,
-    # table in BENCH/BASELINE.md) showed 16x16's implied threshold
-    # (1/16)^(1/16) ~= 0.84 sits ABOVE tau=0.8, so pairs AT the threshold
-    # were found directly only ~40% of the time (a 20k-page soak sampled
-    # 0.83 recall on tau-edge pairs); 32x8's implied threshold ~0.65 puts
-    # p_hit(0.8) at 0.9972 — the config every gate query and test already
-    # used explicitly.
-    n_bands: int = 32
-    rows_per_band: int = 8
+    # Default None/None = ADAPTIVE (round-7): choose_banding picks the
+    # cheapest (b, r) whose S-curve still hits p_hit(tau) >= 0.99 — at
+    # tau=0.8 that is (26, 8), 26/32 the verify work of the old fixed
+    # 32x8 (p_hit 0.9915 vs 0.9972, both >= target; the round-5 sweep in
+    # BENCH/BASELINE.md showed 32x8's candidate precision 0.41 = 2.5x the
+    # verify cost of tighter choices). Setting a non-0.8 tau now retunes
+    # banding automatically instead of silently reusing an 0.8-tuned
+    # shape (the round-5 16x16 bug class). Explicit n_bands+rows_per_band
+    # (both together) still pin the shape exactly.
+    n_bands: int | None = None
+    rows_per_band: int | None = None
     jaccard_threshold: float = 0.8
     # banding reads only the bottom band_input_k sketch values: a KMV
     # prefix of the sketch is itself a KMV sketch, so component-match
@@ -116,6 +186,24 @@ class PipelineConfig:
     # the exact-collapse stage or the finalize election: C4 ordering
     # removes duplicated CONTENT before doc-level dedup sees it.
     line_dedup_min_len: int = 0
+
+    def __post_init__(self) -> None:
+        # adaptive banding: both unset -> derive from (tau, band_input_k);
+        # the resolved ints are what config_hash sees, so two configs that
+        # resolve identically hash identically and a tau change that moves
+        # the choice invalidates checkpoints exactly as an explicit change
+        # would
+        if (self.n_bands is None) != (self.rows_per_band is None):
+            raise ValueError(
+                "set n_bands and rows_per_band together, or neither "
+                "(adaptive); one without the other is ambiguous"
+            )
+        if self.n_bands is None:
+            b, r = choose_banding(
+                self.jaccard_threshold, max_components=self.band_input_k
+            )
+            object.__setattr__(self, "n_bands", b)
+            object.__setattr__(self, "rows_per_band", r)
 
     def config_hash(self) -> str:
         # hash EVERY field: any output-affecting config change (band_input_k

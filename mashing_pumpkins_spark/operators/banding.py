@@ -16,12 +16,14 @@ For a random g_j the minimum over A∪B falls in A∩B with probability exactly
 S-curve. Components derive purely from sketch contents, preserving the
 bit-compat contract of the signatures table.
 
-PipelineConfig defaults b=16, r=16 (m=256): P(candidate) = 1-(1-s^16)^16
-≈ 0.37 at s=0.80 and ≈ 0.96 at s=0.90 — a steep knee near s≈0.85 that
-suppresses sub-threshold candidate volume; the end-to-end recall test
-(tests/test_pipeline.py) plants duplicates right of the knee and asserts
-recall ≥0.99. For a softer curve at threshold 0.8 use b=32, r=8
-(P(candidate | s=0.8) = 99.7%).
+PipelineConfig's default banding is ADAPTIVE since round 7
+(config.choose_banding): the cheapest (b, r) whose S-curve keeps
+p_hit(tau) >= 0.99 — (26, 8) at tau=0.8, so P(candidate | s=0.8) ≈ 0.99
+with 26/32 of the fixed 32x8 shape's verify volume; a different tau
+retunes the shape automatically (the old fixed default missed threshold
+pairs at tau=0.7 and wasted 2.3x candidates at tau=0.9 — sweep table in
+BENCH/BASELINE.md). The end-to-end recall tests (tests/test_pipeline.py)
+assert >=0.99 under both the adaptive default and the explicit 32x8.
 
 Physical plan: ONE vectorized pandas UDF computes the m component minima
 (numpy reduceat over the batch's flattened sigs) AND folds each r-run into

@@ -66,8 +66,9 @@ def main() -> None:
                     help="append the MinHash near-dup removal stage")
     ap.add_argument("--nsize", type=int, default=21)
     ap.add_argument("--maxsize", type=int, default=256)
-    ap.add_argument("--bands", type=int, default=32)
-    ap.add_argument("--rows", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=None,
+                    help="LSH bands; omit BOTH --bands/--rows for the adaptive default")
+    ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--tau", type=float, default=0.8)
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--blocked-hosts", default="",

@@ -34,8 +34,9 @@ def main() -> None:
     ap.add_argument("--maxsize", type=int, default=256)
     ap.add_argument("--hash", default="xxh64", choices=["xxh64", "mmh3_x64_128_low64"])
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--bands", type=int, default=32)
-    ap.add_argument("--rows", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=None,
+                    help="LSH bands; omit BOTH --bands/--rows for the adaptive default")
+    ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--tau", type=float, default=0.8)
     ap.add_argument("--band-group-cap", type=int, default=2000)
     ap.add_argument(

@@ -454,3 +454,27 @@ def test_pipeline_line_dedup_stage_strips_boiler_corpus_wide(spark):
     assert got["u1"] == "first unique body line of doc one\n" + boiler
     assert got["u2"] == "second doc unique line here"
     assert "u3" not in got
+
+
+def test_pipeline_recall_with_adaptive_banding(spark, corpus, tmp_path_factory):
+    """Round-7 adaptive default (choose_banding(0.8) -> 26x8): the e2e
+    dup-pair recall floor must hold at the CHOSEN point, not just the old
+    fixed 32x8 — this is the north rule's >=0.99 criterion under the
+    cheaper verify-cost shape."""
+    pages_pd, _oracle = corpus
+    pages = spark.createDataFrame(pages_pd)
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=256, hash_name="xxh64", seed=0),
+        jaccard_threshold=0.8,  # banding left adaptive
+    )
+    assert (cfg.n_bands, cfg.rows_per_band) == (26, 8)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_recall_adaptive"))
+    clusters, _report = run_pipeline(spark, pages, cfg, ckpt)
+    assign = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+    truth = _truth_pairs(pages_pd, cfg)
+    assert len(truth) > 50
+    found = sum(
+        1 for a, b in truth if assign.get(a) is not None and assign.get(a) == assign.get(b)
+    )
+    recall = found / len(truth)
+    assert recall >= 0.99, f"adaptive-banding recall {recall:.4f} on {len(truth)} pairs"
