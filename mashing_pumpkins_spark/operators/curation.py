@@ -65,6 +65,7 @@ def curation_funnel(
     agent: str = "*",
     classifier_weights: list[int] | None = None,
     classifier_min: int = 0,
+    near_dup_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (funnel, survivors): funnel is one row per stage with
     (stage_idx, stage, n_docs, n_words); survivors is the post-funnel
@@ -80,11 +81,17 @@ def curation_funnel(
 
     When `near_dup` (a PipelineConfig) is given, a final stage runs the
     full MinHash near-dup pipeline (sketch -> bands -> candidates ->
-    verify -> connected components, plans/pipeline.run_pipeline_flow) on
-    the survivors and keeps one representative per cluster (the member
-    whose string id equals the cluster id, i.e. the lexicographic min).
-    This stage is hash-valued, so the SQL-replayable driver query leaves
-    it off; its own correctness gate is the `pipeline_clusters` oracle."""
+    verify -> connected components) on the survivors and keeps one
+    representative per cluster (the member whose string id equals the
+    cluster id, i.e. the lexicographic min). With
+    `near_dup_checkpoint_dir` set the stage runs CHECKPOINTED
+    (plans/pipeline.run_pipeline — every pipeline stage materializes to
+    the store with the config-hash manifest, so the composed curation
+    job resumes mid-near-dup exactly like a standalone dedup run);
+    without it the stage runs as one chained flow plan
+    (run_pipeline_flow). This stage is hash-valued, so the
+    SQL-replayable driver query leaves it off; its own correctness gate
+    is the `pipeline_clusters` oracle."""
     url_gates = bool(blocked_hosts or blocked_path_terms)
     if (url_gates or robots_rules is not None) and url_col is None:
         raise ValueError("url_filter/robots stages require url_col")
@@ -242,12 +249,19 @@ def curation_funnel(
     )
 
     if near_dup is not None:
-        from ..plans.pipeline import run_pipeline_flow
-
         pages = survivors.select(
             F.col(id_col).cast("string").alias("url"), F.col(text_col).alias("text")
         )
-        clusters, _report = run_pipeline_flow(docs.sparkSession, pages, near_dup)
+        if near_dup_checkpoint_dir is not None:
+            from ..plans.pipeline import run_pipeline
+
+            clusters, _report = run_pipeline(
+                docs.sparkSession, pages, near_dup, near_dup_checkpoint_dir
+            )
+        else:
+            from ..plans.pipeline import run_pipeline_flow
+
+            clusters, _report = run_pipeline_flow(docs.sparkSession, pages, near_dup)
         losers = clusters.where(F.col("url") != F.col("cluster_id")).select(
             F.col("url").alias("_loser")
         )

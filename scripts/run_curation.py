@@ -70,6 +70,9 @@ def main() -> None:
                     help="LSH bands; omit BOTH --bands/--rows for the adaptive default")
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--tau", type=float, default=0.8)
+    ap.add_argument("--near-dup-checkpoint-dir", default=None,
+                    help="run the near-dup stage CHECKPOINTED (resumable) "
+                         "through this store path instead of one flow plan")
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--blocked-hosts", default="",
                     help="comma-separated blocklist hosts (url_filter stage)")
@@ -130,6 +133,7 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         robots_rules=robots_rules,
+        near_dup_checkpoint_dir=args.near_dup_checkpoint_dir,
         **cur_cfg.funnel_kwargs(),
     )
     out = args.output.rstrip("/")

@@ -63,11 +63,10 @@ def _robots_bodies(spark):
     return hosts
 
 
-def _duckdb_replay(sample_parquet: str) -> list[tuple]:
-    """Replay the full gated funnel on the sample with DuckDB."""
-    import duckdb
-
-    sql = r"""
+# CTE chain shared with sf1_combined_soak.py: docs -> url filter (s_uf)
+# -> robots (s_rb) -> quality (s1) -> classifier (s_qc) -> exact dedup
+# (s2) -> passage dedup (s3). Parameter: $path (the sample parquet glob).
+FUNNEL_CTE_PREFIX = r"""
     with docs as (select url, text,
                   split_part(split_part(url, 'https://', 2), '/', 1) as host
                   from read_parquet($path)),
@@ -110,7 +109,15 @@ def _duckdb_replay(sample_parquet: str) -> list[tuple]:
                      sum(case when cnt > 1 then 1 else 0 end) as n_dup
               from p join cnts using (ph) group by 1),
     s3 as (select s2.url, s2.text from s2 left join pstat using (url)
-           where coalesce(n_dup, 0)::double / greatest(coalesce(n_pass, 1), 1) <= 0.5),
+           where coalesce(n_dup, 0)::double / greatest(coalesce(n_pass, 1), 1) <= 0.5)
+"""
+
+
+def _duckdb_replay(sample_parquet: str) -> list[tuple]:
+    """Replay the full gated funnel on the sample with DuckDB."""
+    import duckdb
+
+    sql = FUNNEL_CTE_PREFIX + r""",
     f as (
       select 0 as i, 'input' as stage, count(*) as n from docs
       union all select 1, 'url_filter', count(*) from s_uf

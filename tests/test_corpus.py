@@ -636,3 +636,44 @@ def test_pack_sequences_groups_independent_and_validated(spark):
     assert {(r["source"], r["pack_id"]) for r in rows} == {("a", 0), ("b", 0)}
     with pytest.raises(ValueError):
         pack_sequences(docs, budget_tokens=0)
+
+
+def test_curation_funnel_near_dup_checkpointed_matches_flow(spark, tmp_path):
+    """Round-7: near_dup_checkpoint_dir routes the composed funnel's
+    near-dup stage through the CHECKPOINTED pipeline (resumable, stage
+    manifests) — results must equal the flow route, and the checkpoint
+    store must actually hold the staged pipeline."""
+    import os
+
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    base = " ".join(f"tok{j}" for j in range(60))
+    near = base.replace("tok59", "changed")
+    rows = [(10, base, "s"), (11, near, "s")] + [
+        (20 + i, " ".join(f"d{i}w{j}" for j in range(40)), "s") for i in range(4)
+    ]
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    ckpt = str(tmp_path / "nd_ckpt")
+    funnel_ck, surv_ck = curation_funnel(
+        _docs(spark, rows), None, max_dup_frac=1.0, near_dup=cfg,
+        near_dup_checkpoint_dir=ckpt,
+    )
+    funnel_fl, surv_fl = curation_funnel(
+        _docs(spark, rows), None, max_dup_frac=1.0, near_dup=cfg
+    )
+    assert (
+        {(r.stage, r.n_docs) for r in funnel_ck.collect()}
+        == {(r.stage, r.n_docs) for r in funnel_fl.collect()}
+    )
+    assert (
+        sorted(r.doc_id for r in surv_ck.collect())
+        == sorted(r.doc_id for r in surv_fl.collect())
+        == [10, 20, 21, 22, 23]
+    )
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), "stages must materialize"
