@@ -773,10 +773,41 @@ def run_scaling() -> dict:
         "(test_pipeline_recall_and_precision) is cluster-level: exact-dup "
         "collapse plus transitive chaining recover threshold-straddling "
         "pairs the banding stage misses. 32x8 buys direct-edge recall "
-        "1.0 at 2.5x the verify work and is the round-5 DEFAULT "
+        "1.0 at 2.5x the verify work and was the round-5 default "
         "(config.py): at a 20k-page soak the old 16x16 default sampled "
         "only 0.83 recall on tau-edge pairs because its implied threshold "
         "(1/16)^(1/16) ~= 0.84 sits ABOVE tau.\n\n"
+        "### Round-7: adaptive (b, r) default (config.choose_banding)\n\n"
+        "From round 7 the default banding is ADAPTIVE: "
+        "`choose_banding(tau, p_hit_target=0.99, bg_jaccard=0.3, "
+        "max_components=band_input_k)` picks, for each rows-per-band r, "
+        "the minimal band count b meeting the p_hit floor, then minimizes "
+        "the expected background-candidate volume `b * bg_jaccard^r` (the "
+        "verify-stage cost driver). Pinned choices "
+        "(tests/test_banding_choice.py): tau 0.7 -> (37, 6), tau 0.8 -> "
+        "(26, 8), tau 0.9 -> (18, 14). Sweep rows at the chosen points "
+        "(same 800-page planted corpus; truth = exact sketch J >= tau):\n\n"
+        "| tau | b x r | p_hit(tau) | candidates | cand recall | cand prec | edge recall |\n"
+        "|---|---|---|---|---|---|---|\n"
+        "| 0.8 | **26x8** (adaptive) | 0.9916 | 329 | 1.0 | 0.4134 | 1.0 |\n"
+        "| 0.8 | 32x8 (old fixed) | 0.9972 | 333 | 1.0 | 0.4084 | 1.0 |\n"
+        "| 0.7 | **37x6** (adaptive) | 0.9903 | 497 | 1.0 | 0.4588 | 1.0 |\n"
+        "| 0.7 | 32x8 (old fixed) | 0.8504 | 333 | 0.9649 | 0.6607 | **0.9649** |\n"
+        "| 0.9 | **18x14** (adaptive) | 0.9907 | **147** | 1.0 | 0.4558 | 1.0 |\n"
+        "| 0.9 | 32x8 (old fixed) | 1.0 | 333 | 1.0 | 0.2012 | 1.0 |\n\n"
+        "Reading: at tau=0.8 the adaptive choice equals the fixed shape's "
+        "recall with 6/32 fewer bands (the planted corpus has little "
+        "0.3-similarity background, so the candidate saving here is "
+        "small; at crawl-scale backgrounds the verify work scales with "
+        "b). The tau-sensitivity is the real payoff: at tau=0.7 the fixed "
+        "32x8 S-curve sits too high and MISSES threshold pairs (edge "
+        "recall 0.9649 < 0.99 — the round-5 16x16 bug class), while at "
+        "tau=0.9 it wastes 2.3x the candidate volume (333 vs 147) for "
+        "the same recall 1.0. e2e cluster recall >= 0.99 under the "
+        "adaptive default is pinned by "
+        "test_pipeline_recall_with_adaptive_banding. Explicit (n_bands, "
+        "rows_per_band) still override; resolved adaptive values feed "
+        "config_hash, so checkpoint gating is unchanged.\n\n"
         "## Round-5 line-dedup scale probe (1M docs, hot-line skew case)\n\n"
         "`line_dedup` over a 1,000,000-doc / 3,000,000-line synthetic "
         "corpus with ONE boilerplate line planted on 300,000 docs (the "
@@ -802,12 +833,29 @@ def run_scaling() -> dict:
         "(Huffman bit-walk + batched-matmul IDCT in numpy). Budget math "
         "at 100 TB: a crawl's ~100 KB median JPEG at ~0.25 MP decodes in "
         "~0.2-0.4 s-core, so image featurization is CPU-bound at "
-        "~3-6 MB/s-core — 10-30x below the text pipeline. ESCAPE HATCH: "
-        "decode_jpeg is one pure function behind the mapInPandas batch "
-        "plumbing (operators/multimodal.py); swapping in a native "
-        "decoder (libjpeg-turbo via Pillow/pyturbojpeg, ~50-100x) "
-        "changes no schema, partitioning, or null-row contract — the "
-        "Spark-side shape is already the production one.\n\n"
+        "~3-6 MB/s-core — 10-30x below the text pipeline. ESCAPE HATCH "
+        "(IMPLEMENTED round 7): `jpegcodec.decode_jpeg_auto` dispatches "
+        "to Pillow (libjpeg/libjpeg-turbo) when the wheel imports on the "
+        "worker and falls back to the pure decoder otherwise — same "
+        "schema, partitioning, bomb cap and null-row contract either "
+        "way. Backend selection: explicit image_summary(..., "
+        "jpeg_backend=...) (the string ships inside the UDF closure, so "
+        "it is cluster-correct) > MP_SPARK_JPEG_BACKEND env (needs "
+        "spark.executorEnv propagation on a cluster) > per-worker "
+        "auto-detect. THIS container has no image wheels (verified: "
+        "PIL/cv2/turbojpeg/simplejpeg all absent), so the recorded "
+        "numbers are the documented wheel-absent fallback; the "
+        "pixel-equality cross-check battery (tests/test_jpeg_backend.py "
+        "— exact on DC-only oracle fixtures, <=2 LSB on general images "
+        "per the T.81 IDCT accuracy allowance) runs wherever the wheel "
+        "exists, and the bench realsize probe records a *_pillow ceiling "
+        "alongside the pure one when available. Round-7 pure-path "
+        "speedups: Huffman-table construction memoized (3 identical "
+        "Annex K rebuilds per image dominated small-image profiles; "
+        "1.3 -> 0.4 ms per 48x32 gate image) and the decode-only bench "
+        "timing now fans out over a persisted 16-way cache (the few-MB "
+        "fixture parquet previously collapsed to ONE scan partition, so "
+        "the timed 'parallel' decode ran serial).\n\n"
         "## sf1 soak — the scale paths actually executed (round-5, scripts/sf1_soak.py)\n\n"
         "1,000,000-page synthetic corpus (planted boilerplate on 10% of "
         "docs), full CHECKPOINTED pipeline at local[16], AQE + skew-join "
