@@ -893,6 +893,10 @@ def run_scaling() -> dict:
         "\n"
         "The composed curation job — gated funnel (url blocklist -> robots -> quality -> classifier -> exact -> passage) feeding the MinHash near-dup pipeline — run as ONE call (curation_funnel(near_dup=cfg, near_dup_checkpoint_dir=...)) on the 1,000,000-page soak corpus, local[16], host probe 11.2/40.3 MB/s, near-dup at the ADAPTIVE default (k=256, tau=0.8 -> 26x8 banding), CHECKPOINTED through the stage store (resumable mid-near-dup): composed build 446.3 s, funnel report 581.4 s, kept-table write 281.6 s. Funnel chain at 1M: input 1,000,000 -> url_filter 931,302 -> robots 751,666 -> quality 751,666 -> classifier 445,701 -> exact 435,531 -> passage 382,822 -> **near_dup 364,488 kept** (18,334 near-dup losers removed). Near-dup per-stage manifests (rows / wall): extract 382,822 / 307.2 s (the funnel recompute feeding pipeline stage 1 — production resumes from the committed stage instead), signatures 382,822 / 94.8 s, bands 9,953,372 / 8.5 s, candidates 88,838 / 8.3 s, edges 18,635 verified / 8.6 s, clusters 35,616 urls / 2.7 s. CROSS-ENGINE CHECK THROUGH THE NEAR-DUP STAGE: a deterministic ~0.5% sample (md5(url) % 200 == 7, 4,956 docs) ran the same composed job in Spark (untruncated sketch, under which sketch Jaccard == exact shingle Jaccard) against a DuckDB replay of the full chain INCLUDING the pairwise-Jaccard transitive closure — all 8 per-stage counts equal AND the exact kept-url set equal (2,138 kept on both engines). Raw JSON: BENCH/r7_combined_soak.json.\n"
         "\n"
+        "## sf1 WARC-ingest soak (round-7, scripts/sf1_warc_ingest_soak.py)\n"
+        "\n"
+        "Production stage 1 — raw .warc.gz -> pages — at 1,000,000 pages, local[16], host probe 9.2/32.6 MB/s. Export leg (also soaks the round-7 distributed writer): 64 .warc.gz shards, 1.87 GB compressed, written by write_warc_files in 562.5 s (render + per-record gzip + task-commit). INGEST (the timed production leg): binaryFile -> mapInPandas WARC parse -> HTML extraction -> pages parquet in 548.3 s = **1,823.7 docs/s, 3.42 MB/s compressed / 6.19 MB/s decompressed HTML** — per-file parallel with no shuffle, so at crawl scale it multiplies by file count/executors. BYTE-IDENTITY (the north rule's per-url invariant, end to end through render -> WARC -> parse -> extract): deterministic ~0.5% sample, **4,956 urls, 0 mismatches** (full-outer join, so drops and orphans would also count). The gated funnel run straight off the ingested table reproduces the round-6 parquet-sourced stage counts EXACTLY (931,302 / 751,666 / 751,666 / 445,701 / 435,531 / 382,822) — the ingest edge is transparent to the downstream pipeline. Raw JSON: BENCH/r7_warc_ingest_soak.json.\n"
+        "\n"
         "## Tail reproducibility under the round-5 gap discipline (two consecutive full benches)\n\n"
         "Run 1 (probes 14.9/54.2 start, 16.2-18.1 at gaps, 16.5 end): "
         "headline 4,547 docs/s, pipeline_pages 21.99 s, pipeline_clusters "
