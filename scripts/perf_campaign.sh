@@ -1,5 +1,5 @@
 #!/bin/bash
-# Probe-gated round-6 perf campaign: --scaling first (the north-rule leg,
+# Probe-gated round-7 perf campaign: --scaling first (the north-rule leg,
 # ratio-sensitive), then bench run1, re-gate, bench run2.
 # Gate thresholds reflect the measured host plateau this round (1p ~9-10
 # MB/s, ratio 2.7-3.8 for >1h; the peak-state 1p>=12 gate never opened) —
@@ -25,13 +25,13 @@ gate() { # $1 = max wait seconds
 echo "=== gate for scaling ===" >&2
 gate 2400
 echo "=== scaling ===" >&2
-timeout 3000 python bench.py --scaling > /tmp/bench_r6_scaling.out 2>/tmp/bench_r6_scaling.err
+timeout 3000 python bench.py --scaling > /tmp/bench_r7_scaling.out 2>/tmp/bench_r7_scaling.err
 echo "scaling rc=$?" >&2
 
 echo "=== gate for bench run 1 ===" >&2
 gate 2400
 echo "=== bench run 1 ===" >&2
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r6_run1.out 2>/tmp/bench_r6_run1.err
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r7_run1.out 2>/tmp/bench_r7_run1.err
 rc=$?
 cp BENCH_local.json /tmp/BENCH_local_run1.json
 echo "run1 rc=$rc" >&2
@@ -39,7 +39,7 @@ echo "run1 rc=$rc" >&2
 echo "=== gate for bench run 2 ===" >&2
 gate 2400
 echo "=== bench run 2 ===" >&2
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r6_run2.out 2>/tmp/bench_r6_run2.err
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 2400 python bench.py > /tmp/bench_r7_run2.out 2>/tmp/bench_r7_run2.err
 rc=$?
 cp BENCH_local.json /tmp/BENCH_local_run2.json
 echo "run2 rc=$rc" >&2
