@@ -928,7 +928,20 @@ def run_scaling() -> dict:
         "1-proc. The round-5 4,547 docs/s best required a sustained "
         "15-18 MB/s host state never observed this round (the plateau "
         "was 9-15 for hours); read BENCH_r*.json per-query best across "
-        "matching-probe runs, with any single run a lower bound.\n"
+        "matching-probe runs, with any single run a lower bound.\n\n"
+        "Round-7 campaign (same scaling-first discipline, zero gate "
+        "waits — the host held 11.4-15.2 MB/s 1-proc / ratio 3.5-4.6 "
+        "throughout): scaling leg measured flow raw 0.945 / checkpointed "
+        "raw 0.886 (adjacent probes 15.5/53.6) — both production paths "
+        "above the 0.8 north rule for the SECOND consecutive gated "
+        "campaign (r6: 0.870/0.904), so the pass is reproducible, not a "
+        "lucky host. Run 1 (probe 13.6/39.9) headline 3,866 docs/s; run "
+        "2 (probe 14.3/51.3) 3,692 docs/s — both clear the 3,500 target "
+        "the round-6 verdict set, closing the headline-reproducibility "
+        "item: the round-6 2,568-3,001 band was host capacity (its "
+        "sustained 4-proc reads were 33-47 vs r7's 40-55 MB/s), not a "
+        "code regression. Raw JSONs: "
+        "BENCH/r7_campaign_{scaling,run1,run2}.json.\n"
     )
     out["sketch_mb_per_sec"] = sketch_mb
     out["kernel_mb_per_sec_single_core"] = kernel_mb
