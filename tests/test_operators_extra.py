@@ -674,6 +674,84 @@ def test_streaming_admission_gate_matches_batch_operators(spark, tmp_path):
     )
 
 
+def test_streaming_admission_multibatch_parity(spark, tmp_path):
+    """VERDICT r6 item 7: the admission gate must be exactly-once and
+    flag-identical to the batch operators when the corpus arrives over
+    MULTIPLE micro-batches (one input file per trigger), not just in the
+    single-batch fixture above. Full-outer-join comparison so a row
+    dropped or duplicated at a batch boundary fails, not just a wrong
+    flag. scripts/streaming_parity_sf01.py runs this same check at
+    sf0.1 (8 micro-batches, 4,500 docs, recorded in BENCH/BASELINE.md)."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.corpus import (
+        decontaminate_bloom,
+        gopher_rules,
+    )
+    from mashing_pumpkins_spark.streaming.curation_stream import streaming_admission
+
+    stops = "the and of to is in that for with a"
+    benchmark = spark.createDataFrame(
+        [(100, "bench doc holding alpha beta gamma delta epsilon zeta", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = []
+    for i in range(12):
+        body = " ".join(f"tok{i}w{j}" for j in range(60)) + " " + stops
+        if i % 4 == 1:
+            body += " alpha beta gamma delta epsilon zeta"  # contaminated
+        if i % 4 == 2:
+            body = f"short {i} " + stops  # fails r_nwords
+        rows.append((f"u{i}", body))
+    src = tmp_path / "stream_mb_in"
+    src.mkdir()
+    for b in range(3):  # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+        pd.DataFrame(rows[b * 4 : (b + 1) * 4], columns=["url", "text"]).to_parquet(
+            src / f"b{b}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_admission(stream, benchmark, n=4, m_bits=1 << 20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admission_mb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+
+    import pyspark.sql.functions as F
+
+    batch = spark.createDataFrame(rows, "url string, text string")
+    quality = gopher_rules(batch, id_col="url").select(
+        "url", F.coalesce(F.col("keep"), F.lit(False)).alias("b_quality_ok")
+    )
+    contam = decontaminate_bloom(batch, benchmark, n=4, m_bits=1 << 20, id_col="url")
+    flags = quality.join(
+        contam.select("url", (F.col("contaminated") == 1).alias("b_contaminated")),
+        "url",
+    ).withColumn("b_admitted", F.col("b_quality_ok") & ~F.col("b_contaminated"))
+    joined = (
+        spark.sql("select * from admission_mb_test")
+        .join(flags, "url", "full_outer")
+        .collect()
+    )
+    assert len(joined) == 12
+    for r in joined:
+        assert r["quality_ok"] == r["b_quality_ok"], r
+        assert r["contaminated"] == r["b_contaminated"], r
+        assert r["admitted"] == r["b_admitted"], r
+    # the fixture must exercise all three outcomes
+    outcomes = {(r["quality_ok"], r["contaminated"]) for r in joined}
+    assert (True, False) in outcomes and (True, True) in outcomes
+    assert (False, False) in outcomes
+
+
 def test_streaming_admission_html_input(spark, tmp_path):
     """Raw-crawl ingest shape: a stream of (url, html) goes through the
     native extractor before the gates; undecodable payloads are rejected,
