@@ -166,6 +166,36 @@ def test_pagerank_plan_stays_flat_across_iterations(spark):
     assert len(plans[6]) < 2 * len(plans[2]), (len(plans[2]), len(plans[6]))
 
 
+def test_container_export_writers_have_no_shuffle(spark):
+    """write_wet_files / write_warc_files stream each input partition
+    straight into its own container file: ONE mapInPandas over the
+    pruned column set, no Exchange anywhere — a shuffle before the
+    writer would re-partition 100 TB of page bytes just to write them
+    out. File count/size is the caller's job (repartition upstream)."""
+    import datetime
+
+    from mashing_pumpkins_spark.sources.warc import (
+        write_warc_files,
+        write_wet_files,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    pages = spark.createDataFrame(
+        [(f"http://h/{i}", ts, b"<p>x</p>", f"t{i}", i) for i in range(8)],
+        "url string, warc_ts timestamp, html binary, text string, extra long",
+    )
+    for out in (
+        write_wet_files(pages, "/tmp/_plan_guard_wet"),
+        write_warc_files(pages, "/tmp/_plan_guard_warc"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan and "CartesianProduct" not in plan
+        assert plan.count("MapInPandas") == 1
+        # column pruning: the writer must not drag unused columns along
+        assert "extra" not in plan.split("MapInPandas")[0]
+
+
 def test_robots_lookup_winner_is_aggregate_not_window(spark):
     """robots_allowed resolves the longest-match winner with a
     max(struct) AGGREGATE (map-side combinable) keyed by (host, path) —
