@@ -1971,6 +1971,26 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/lm.py): Laplace-smoothed
+    bigram model fit on the held-out reference split (doc_id % 10 == 0,
+    the decontamination split), scoring the training split with
+    integer-scaled log-probs (floor(1e6*ln p) summed as BIGINT — exact
+    and order-independent, so the value hash crosses engines) and
+    banding head/middle/tail on avg log-prob by integer comparison.
+    Band cuts are fitted to the synthetic corpus (31-word vocabulary
+    puts its avg-ln-p range in [-4.1, -3.2]) exactly as CCNet fits
+    per-language percentile cutoffs."""
+    from mashing_pumpkins_spark.operators.lm import fit_bigram_lm, lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    lm = fit_bigram_lm(docs.where(F.col("doc_id") % 10 == 0))
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return lm_perplexity(
+        train, lm, head_cut_e6=-3_450_000, tail_cut_e6=-3_650_000
+    ).orderBy("doc_id")
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the key web-crawl pre-dedup step): each doc
     gets a deterministically MESSY absolute URL (scheme/host case variants,
@@ -2108,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "url_canonical": q_url_canonical,
         "gopher_rules": q_gopher_rules,
+        "lm_perplexity": q_lm_perplexity,
         "source_similarity": q_source_similarity,
         "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
@@ -3641,6 +3662,64 @@ def oracle_sql() -> dict[str, str]:
                                             'that','for','with','a','an','it',
                                             'on','as','at','by'], x))) >= 2)) as keep
             from r order by doc_id
+        """,
+        # CCNet-style bigram-LM filter: the LM (counts + vocab size) and
+        # the per-gram floor(1e6*ln p) weights are recomputed from the
+        # parquet table; sums are exact BIGINTs, the band is an integer
+        # comparison — engine-independent modulo one IEEE ln per
+        # distinct (c2, c_ctx) pair, floored at 1e-6 resolution
+        "lm_perplexity": r"""
+            with toks as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            lm_grams as (
+              select array_to_string(w[i:i+1], ' ') as g
+              from toks, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+                   as t(i)
+              where doc_id % 10 = 0
+            ),
+            big as (select g, count(*)::bigint as c2 from lm_grams group by g),
+            ctx as (select string_split(g, ' ')[1] as w1,
+                           sum(c2)::bigint as c_ctx
+                    from big group by 1),
+            v as (select count(distinct u.tok)::bigint as vs
+                  from (select unnest(w) as tok from toks
+                        where doc_id % 10 = 0) u),
+            train_grams as (
+              select doc_id, array_to_string(w[i:i+1], ' ') as g
+              from toks, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+                   as t(i)
+              where doc_id % 10 != 0
+            ),
+            scored as (
+              select tg.doc_id,
+                     floor(ln((coalesce(b.c2, 0) + 1)::double
+                              / (coalesce(c.c_ctx, 0)
+                                 + (select vs from v))::double)
+                           * 1e6)::bigint as wgt,
+                     (b.c2 is null)::bigint as oov
+              from train_grams tg
+              left join big b on b.g = tg.g
+              left join ctx c on c.w1 = string_split(tg.g, ' ')[1]
+            ),
+            agg as (
+              select t.doc_id,
+                     count(s.doc_id)::bigint as n_grams,
+                     coalesce(sum(s.oov), 0)::bigint as n_oov,
+                     coalesce(sum(s.wgt), 0)::bigint as sum_logp_e6
+              from (select doc_id from toks where doc_id % 10 != 0) t
+              left join scored s on s.doc_id = t.doc_id
+              group by t.doc_id
+            )
+            select doc_id, n_grams, n_oov, sum_logp_e6,
+                   case when n_grams = 0 then 'empty'
+                        when sum_logp_e6 > -3450000 * n_grams then 'head'
+                        when sum_logp_e6 > -3650000 * n_grams then 'middle'
+                        else 'tail' end as band
+            from agg order by doc_id
         """,
         "url_canonical": """
             select doc_id,

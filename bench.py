@@ -293,6 +293,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "jpeg_decode_stats",
         "url_canonical",
         "gopher_rules",
+        "lm_perplexity",
         "source_similarity",
         "pii_scrub",
         # link graph: 5 exact-integer power iterations, one shuffle each
