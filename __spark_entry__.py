@@ -1387,6 +1387,28 @@ def q_curation_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel
 
 
+def q_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the round-7 CCNet-style LM stage enabled: quality
+    filter -> LM perplexity band keep (bigram model fit on the held-out
+    split, head+middle kept at the fitted synthetic-corpus cuts) ->
+    exact dedup -> passage dedup -> decontamination. The oracle replays
+    the LM stage with the same integer log-prob CTEs as lm_perplexity,
+    so every surviving count is engine-independent."""
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    funnel, _survivors = curation_funnel(
+        train,
+        benchmark,
+        lm_reference=benchmark,
+        lm_head_cut_e6=-3_450_000,
+        lm_tail_cut_e6=-3_650_000,
+    )
+    return funnel
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch incremental near-dup admission: odd-doc_id batch checked
     against the committed even-doc_id index (sketch -> band equi-join ->
@@ -2116,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "cdx_index": q_cdx_index,
         "curation_funnel": q_curation_funnel,
+        "curation_funnel_lm": q_curation_funnel_lm,
         "curation_funnel_gated": q_curation_funnel_gated,
         "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
@@ -3370,6 +3393,112 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(sum(case when length(trim(text)) = 0 then 0
                        else len(string_split_regex(trim(text), '\s+')) end), 0) from s3
               union all select 7, 'decontamination', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s4
+            )
+            select stage_idx, stage, n_docs, n_words::bigint as n_words
+            from f order by stage_idx
+        """,
+        # funnel with the CCNet-style LM stage: the LM CTEs are the
+        # lm_perplexity oracle's, scored over the quality survivors
+        "curation_funnel_lm": r"""
+            with train as (select doc_id, text from documents where doc_id % 10 <> 0),
+            bench as (select doc_id, text from documents where doc_id % 10 = 0),
+            q as (
+              select doc_id, text,
+                (case when length(text) between 100 and 20000 then 0.4 else 0 end)
+                + (case when (case when length(regexp_replace(text, '\s+', '', 'g')) > 0
+                     then len(regexp_extract_all(regexp_replace(text, '\s+', '', 'g'), '[^A-Za-z0-9]'))::double
+                          / length(regexp_replace(text, '\s+', '', 'g')) else 0 end) < 0.2 then 0.3 else 0 end)
+                + (case when (case when length(trim(text)) > 0
+                     then len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> list_contains(['the','and','of','to','is','in','that','for','with','a','an','it','on','as','at','by'], x)))::double
+                          / len(string_split_regex(lower(trim(text)), '\s+')) else 0 end) > 0.01 then 0.3 else 0 end)
+                as quality
+              from train
+            ),
+            s1 as (select doc_id, text from q where quality >= 0.4),
+            ltoks as (select case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+')
+                      else [] end as w from bench),
+            lm_grams as (
+              select array_to_string(w[i:i+1], ' ') as g
+              from ltoks, unnest(generate_series(1, greatest(len(w) - 1, 0))) as t(i)
+            ),
+            big as (select g, count(*)::bigint as c2 from lm_grams group by g),
+            ctx as (select string_split(g, ' ')[1] as w1, sum(c2)::bigint as c_ctx
+                    from big group by 1),
+            v as (select count(distinct u.tok)::bigint as vs
+                  from (select unnest(w) as tok from ltoks) u),
+            s1toks as (select doc_id, case when length(trim(text)) > 0
+                       then string_split_regex(lower(trim(text)), '\s+')
+                       else [] end as w from s1),
+            tg as (
+              select doc_id, array_to_string(w[i:i+1], ' ') as g
+              from s1toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) as t(i)
+            ),
+            scored as (
+              select tg.doc_id,
+                     floor(ln((coalesce(b.c2, 0) + 1)::double
+                              / (coalesce(c.c_ctx, 0)
+                                 + (select vs from v))::double)
+                           * 1e6)::bigint as wgt
+              from tg
+              left join big b on b.g = tg.g
+              left join ctx c on c.w1 = string_split(tg.g, ' ')[1]
+            ),
+            lmagg as (
+              select s1.doc_id,
+                     count(s.doc_id)::bigint as n_grams,
+                     coalesce(sum(s.wgt), 0)::bigint as s_lp
+              from s1 left join scored s on s.doc_id = s1.doc_id
+              group by s1.doc_id
+            ),
+            s_lm as (select s1.doc_id, s1.text from s1 join lmagg using (doc_id)
+                     where n_grams > 0 and s_lp > -3650000 * n_grams),
+            s2 as (select doc_id, text from (
+              select doc_id, text, row_number() over (partition by md5(text) order by doc_id) as rn
+              from s_lm) where rn = 1),
+            toks as (select doc_id, case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from s2),
+            p as (select doc_id, md5(array_to_string(w[i*16+1:i*16+16], ' ')) as ph
+                  from toks, unnest(generate_series(0, cast(ceil(len(w)/16.0) as int) - 1)) as t(i)
+                  where len(w) > 0),
+            cnts as (select ph, count(*) as cnt from p group by 1),
+            pstat as (select p.doc_id, count(*) as n_pass,
+                             sum(case when cnt > 1 then 1 else 0 end) as n_dup
+                      from p join cnts using (ph) group by 1),
+            s3 as (select s2.doc_id, s2.text from s2 left join pstat using (doc_id)
+                   where coalesce(n_dup, 0)::double / greatest(coalesce(n_pass, 1), 1) <= 0.5),
+            t3 as (select doc_id, case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from s3),
+            tb as (select case when length(trim(text)) > 0
+                      then string_split_regex(lower(trim(text)), '\s+') else [] end as w from bench),
+            g3 as (select doc_id, dg.g from t3,
+                   unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                     i -> array_to_string(w[i:i+3], ' ')))) as dg(g)),
+            gb as (select distinct bg.g from tb,
+                   unnest(list_transform(generate_series(1, greatest(len(w)-3, 0)),
+                     i -> array_to_string(w[i:i+3], ' '))) as bg(g)),
+            dirty as (select distinct doc_id from g3 join gb using (g)),
+            s4 as (select s3.doc_id, s3.text from s3 anti join dirty using (doc_id)),
+            f as (
+              select 0 as stage_idx, 'input' as stage, count(*) as n_docs,
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) as n_words from train
+              union all select 1, 'quality_filter', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s1
+              union all select 2, 'lm_filter', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s_lm
+              union all select 3, 'exact_dedup', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s2
+              union all select 4, 'passage_dedup', count(*),
+                     coalesce(sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end), 0) from s3
+              union all select 5, 'decontamination', count(*),
                      coalesce(sum(case when length(trim(text)) = 0 then 0
                        else len(string_split_regex(trim(text), '\s+')) end), 0) from s4
             )

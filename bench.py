@@ -280,6 +280,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         # the timed window/join entries
         "curation_funnel",
         "curation_funnel_gated",
+        "curation_funnel_lm",
         "incremental_dedup",
         # relational showcase (star-schema joins, sessionization, cube)
         "pricing_summary",

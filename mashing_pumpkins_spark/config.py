@@ -236,6 +236,11 @@ class CurationConfig:
     agent: str = "*"
     classifier_weights: tuple[int, ...] = ()
     classifier_min: int = 0
+    # round-7 CCNet-style LM filter (off unless lm_reference_path set)
+    lm_reference_path: str | None = None
+    lm_head_cut_e6: int | None = None
+    lm_tail_cut_e6: int | None = None
+    lm_keep: tuple[str, ...] = ("head", "middle")
 
     def config_hash(self) -> str:
         return _config_hash(self)
@@ -254,4 +259,7 @@ class CurationConfig:
             "agent": self.agent,
             "classifier_weights": list(self.classifier_weights),
             "classifier_min": self.classifier_min,
+            "lm_head_cut_e6": self.lm_head_cut_e6,
+            "lm_tail_cut_e6": self.lm_tail_cut_e6,
+            "lm_keep": tuple(self.lm_keep),
         }

@@ -15,6 +15,8 @@ all pure JVM Column expressions unless noted):
   quality_classifier  — hashed-n-gram linear model score >= classifier_min
                         (functions.classifier.hashed_ngram_score; needs
                         classifier_weights)
+  lm_filter           — CCNet-style bigram-LM perplexity band in lm_keep
+                        (operators.lm; needs lm_reference)
   exact_dedup         — keep min-id doc per content-key group
   passage_dedup       — drop docs whose duplicated-passage fraction
                         (corpus.passage_dedup_stats over the exact-dedup
@@ -65,6 +67,10 @@ def curation_funnel(
     agent: str = "*",
     classifier_weights: list[int] | None = None,
     classifier_min: int = 0,
+    lm_reference: DataFrame | None = None,
+    lm_head_cut_e6: int | None = None,
+    lm_tail_cut_e6: int | None = None,
+    lm_keep: tuple[str, ...] = ("head", "middle"),
     near_dup_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (funnel, survivors): funnel is one row per stage with
@@ -78,6 +84,13 @@ def curation_funnel(
     stage keeping docs with score >= classifier_min. Stage indices shift
     when gates are enabled; with all gates off the funnel is byte-
     identical to the pre-round-6 five-stage output.
+
+    `lm_reference` (round-7) enables the CCNet-style LM filter
+    (operators/lm.py): a bigram model is fit on the reference corpus
+    and docs whose perplexity band is not in `lm_keep` are cut —
+    CCNet's keep-head-and-middle policy by default. The stage sits
+    after the cheap structural/classifier gates (it joins two model
+    tables, so only current survivors are scored) and before dedup.
 
     When `near_dup` (a PipelineConfig) is given, a final stage runs the
     full MinHash near-dup pipeline (sketch -> bands -> candidates ->
@@ -167,6 +180,32 @@ def curation_funnel(
         )
         specs.append(("quality_classifier", F.col("_k")))
         gate = F.col("_k")
+
+    if lm_reference is not None:
+        from .lm import HEAD_CUT_E6, TAIL_CUT_E6, fit_bigram_lm, lm_perplexity
+
+        lm = fit_bigram_lm(lm_reference, text_col=text_col)
+        # side branch over current survivors only (the model joins +
+        # doc-keyed agg are the costly part); cut docs re-join on id
+        bands = lm_perplexity(
+            flags.where(gate).select(id_col, text_col),
+            lm,
+            id_col=id_col,
+            text_col=text_col,
+            head_cut_e6=(
+                HEAD_CUT_E6 if lm_head_cut_e6 is None else lm_head_cut_e6
+            ),
+            tail_cut_e6=(
+                TAIL_CUT_E6 if lm_tail_cut_e6 is None else lm_tail_cut_e6
+            ),
+        ).select(
+            F.col(id_col), F.col("band").isin(*lm_keep).alias("_lm_ok")
+        )
+        flags = flags.join(bands, id_col, "left").withColumn(
+            "_lm", gate & F.coalesce("_lm_ok", F.lit(False))
+        ).drop("_lm_ok")
+        specs.append(("lm_filter", F.col("_lm")))
+        gate = F.col("_lm")
 
     # exact-dedup representative among upstream survivors: min id per
     # content fingerprint, restricted to gate rows (ids are unique, so

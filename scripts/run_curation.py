@@ -84,6 +84,15 @@ def main() -> None:
     ap.add_argument("--classifier-weights", default="",
                     help="comma-separated integer weights (quality_classifier stage)")
     ap.add_argument("--classifier-min", type=int, default=0)
+    ap.add_argument("--lm-reference", default=None,
+                    help="parquet of reference docs enabling the CCNet-style "
+                         "LM perplexity filter (operators/lm.py)")
+    ap.add_argument("--lm-head-cut-e6", type=int, default=None,
+                    help="avg-ln-p head cut in 1e-6 units (default: "
+                         "operators.lm.HEAD_CUT_E6; use = form for negatives)")
+    ap.add_argument("--lm-tail-cut-e6", type=int, default=None)
+    ap.add_argument("--lm-keep", default="head,middle",
+                    help="comma-separated perplexity bands to keep")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -120,12 +129,19 @@ def main() -> None:
             int(w) for w in args.classifier_weights.split(",") if w
         ),
         classifier_min=args.classifier_min,
+        lm_reference_path=args.lm_reference,
+        lm_head_cut_e6=args.lm_head_cut_e6,
+        lm_tail_cut_e6=args.lm_tail_cut_e6,
+        lm_keep=tuple(b for b in args.lm_keep.split(",") if b),
     )
     robots_rules = None
     if args.robots:
         from mashing_pumpkins_spark.sources.robots import parse_robots
 
         robots_rules = parse_robots(spark.read.parquet(args.robots))
+    lm_reference = (
+        spark.read.parquet(args.lm_reference) if args.lm_reference else None
+    )
     funnel, survivors = curation_funnel(
         docs,
         benchmark,
@@ -133,6 +149,7 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         robots_rules=robots_rules,
+        lm_reference=lm_reference,
         near_dup_checkpoint_dir=args.near_dup_checkpoint_dir,
         **cur_cfg.funnel_kwargs(),
     )

@@ -154,6 +154,41 @@ def test_curation_funnel_drops_each_planted_defect(spark):
     assert sorted(r.doc_id for r in survivors.collect()) == [1, 2]
 
 
+def test_curation_funnel_lm_stage_cuts_out_of_distribution_doc(spark):
+    """The CCNet-style LM stage: a doc whose bigrams are all OOV against
+    the reference model lands in the tail band and is cut; an in-vocab
+    doc scores head and flows through to the survivor set."""
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    ref_seq = " ".join(f"w{i}" for i in range(60))
+    lm_ref = _docs(spark, [(100 + k, ref_seq, "r") for k in range(5)])
+    good = " ".join(f"w{i}" for i in range(32))  # seen bigrams, p ~ 6/65
+    bad = " ".join(f"q{i}" for i in range(32))  # all OOV, p = 1/60
+    funnel, survivors = curation_funnel(
+        _docs(spark, [(1, good, "s"), (2, bad, "s")]),
+        benchmark=None,
+        lm_reference=lm_ref,
+        lm_head_cut_e6=-3_000_000,
+        lm_tail_cut_e6=-3_500_000,
+    )
+    rows = funnel.orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == [
+        "input",
+        "quality_filter",
+        "lm_filter",
+        "exact_dedup",
+        "passage_dedup",
+    ]
+    assert {r.stage: r.n_docs for r in rows} == {
+        "input": 2,
+        "quality_filter": 2,
+        "lm_filter": 1,
+        "exact_dedup": 1,
+        "passage_dedup": 1,
+    }
+    assert [r.doc_id for r in survivors.collect()] == [1]
+
+
 def test_curation_funnel_near_dup_stage_keeps_one_representative(spark):
     from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
     from mashing_pumpkins_spark.operators.curation import curation_funnel
