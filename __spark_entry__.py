@@ -2013,6 +2013,21 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/dsir.py): hashed
+    unigram+bigram bag models on the held-out target split vs the raw
+    training split, per-doc importance weight = integer log-prob ratio
+    sum (exact BIGINT — the lm_perplexity recipe over the classifier's
+    md5 bucket space), top 50 by (weight desc, doc_id). The plan is
+    TakeOrderedAndProject over two broadcast model joins."""
+    from mashing_pumpkins_spark.operators.dsir import dsir_top_k
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return dsir_top_k(train, target, k=50, n_buckets=512)
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the key web-crawl pre-dedup step): each doc
     gets a deterministically MESSY absolute URL (scheme/host case variants,
@@ -2152,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "gopher_rules": q_gopher_rules,
         "lm_perplexity": q_lm_perplexity,
+        "dsir_select": q_dsir_select,
         "source_similarity": q_source_similarity,
         "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
@@ -3849,6 +3865,56 @@ def oracle_sql() -> dict[str, str]:
                         when sum_logp_e6 > -3650000 * n_grams then 'middle'
                         else 'tail' end as band
             from agg order by doc_id
+        """,
+        # DSIR: both hashed-feature models and the integer log-prob
+        # ratio recomputed from parquet; bucket = the classifier's
+        # md5 idiom, feature set = unigrams + space-joined bigrams
+        "dsir_select": r"""
+            with docsw as (
+              select doc_id, case when length(trim(text)) > 0
+                     then string_split_regex(lower(trim(text)), '\s+')
+                     else [] end as w
+              from documents
+            ),
+            fl as (
+              select doc_id,
+                     list_concat(w, list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> array_to_string(w[i:i+1], ' '))) as fs
+              from docsw
+            ),
+            tb as (
+              select ('0x' || substr(md5(u.f), 1, 8))::bigint % 512 as b,
+                     count(*)::bigint as c
+              from (select unnest(fs) as f from fl where doc_id % 10 = 0) u
+              group by 1
+            ),
+            tt as (select coalesce(sum(c), 0)::bigint as t from tb),
+            rfeat as (
+              select doc_id, u.f,
+                     ('0x' || substr(md5(u.f), 1, 8))::bigint % 512 as b
+              from fl, unnest(fs) as u(f)
+              where doc_id % 10 <> 0
+            ),
+            rb as (select b, count(*)::bigint as c from rfeat group by b),
+            rt as (select coalesce(sum(c), 0)::bigint as t from rb),
+            scored as (
+              select rf.doc_id,
+                     floor(ln((coalesce(tb.c, 0) + 1)::double
+                              / ((select t from tt) + 512)::double) * 1e6)::bigint
+                     - floor(ln((coalesce(rb.c, 0) + 1)::double
+                                / ((select t from rt) + 512)::double) * 1e6)::bigint
+                       as wgt
+              from rfeat rf
+              left join tb on tb.b = rf.b
+              left join rb on rb.b = rf.b
+            ),
+            agg as (select doc_id, count(*)::bigint as n_feats,
+                           sum(wgt)::bigint as weight_e6
+                    from scored group by doc_id)
+            select doc_id, n_feats, weight_e6
+            from agg
+            order by weight_e6 desc, doc_id asc limit 50
         """,
         "url_canonical": """
             select doc_id,

@@ -295,6 +295,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "url_canonical",
         "gopher_rules",
         "lm_perplexity",
+        "dsir_select",
         "source_similarity",
         "pii_scrub",
         # link graph: 5 exact-integer power iterations, one shuffle each
