@@ -62,12 +62,15 @@ def fit_hashed_ngram_model(
 ) -> HashedNgramModel:
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # persisted: the counts feed BOTH the total (collected here) and the
+    # later broadcast scoring join — without the persist each consumer
+    # re-runs the full corpus explode+aggregate just to rebuild <= B rows
     counts = (
         docs.select(F.explode(_features(text_col)).alias("f"))
         .select(token_bucket(F.col("f"), n_buckets).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).persist()
     total = counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t")).collect()[0][
         "t"
     ]

@@ -69,11 +69,14 @@ def fit_bigram_lm(lm_docs: DataFrame, text_col: str = "text") -> BigramLM:
     over grams starting with w1), so a token's final occurrence in a
     doc — which heads no bigram — correctly doesn't count as context."""
     w = words_array(F.col(text_col))
+    # persisted: the bigram table feeds the context derivation AND the
+    # scoring join; unpersisted, every consumer re-runs the reference
+    # corpus explode+aggregate (the dsir.py fit documents the same)
     big = (
         lm_docs.select(F.explode(word_gram_array(w, 2)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c2"))
-    )
+    ).persist()
     ctx = (
         big.groupBy(F.split(F.col("g"), " ", 2).getItem(0).alias("w1"))
         .agg(F.sum("c2").alias("c_ctx"))
