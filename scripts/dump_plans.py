@@ -123,6 +123,23 @@ def main() -> None:
         classifier_min=0,
     )
 
+    from mashing_pumpkins_spark.operators.dsir import dsir_top_k
+    from mashing_pumpkins_spark.operators.lm import fit_bigram_lm, lm_perplexity
+
+    lm_ref = pages.where(F.crc32(F.col("url")) % 10 == 0)
+    lm_scores = lm_perplexity(
+        pages.where(F.crc32(F.col("url")) % 10 != 0),
+        fit_bigram_lm(lm_ref),
+        id_col="url",
+    )
+    dsir_sel = dsir_top_k(
+        pages.where(F.crc32(F.col("url")) % 10 != 0),
+        lm_ref,
+        k=20,
+        n_buckets=512,
+        id_col="url",
+    )
+
     sections = [
         (
             "sketch stage (mapInArrow)",
@@ -228,6 +245,26 @@ def main() -> None:
             "read the filtered base once; no Window over documents except "
             "the exact-dedup content-key window (one shuffle); the "
             "classifier weight table is a plan literal (no weight join).",
+        ),
+        (
+            "CCNet-style LM perplexity filter (round-7)",
+            lm_scores,
+            "Check: both model tables arrive through BroadcastHashJoin "
+            "(the LM is bounded by the reference corpus, not the crawl) "
+            "with the bigram table behind InMemoryTableScan (persisted at "
+            "fit — unpersisted, the context derivation and the scoring "
+            "join each re-ran the reference explode); the crawl side is "
+            "explode -> joins -> ONE doc-keyed HashAggregate pair "
+            "(partial before the Exchange); no Window, no Python.",
+        ),
+        (
+            "DSIR importance-resampling selection (round-7)",
+            dsir_sel,
+            "Check: both hashed-feature models broadcast (B-row count "
+            "tables, persisted at fit); scoring is pure JVM md5 bucket "
+            "arithmetic inside the projection; selection is "
+            "TakeOrderedAndProject — only k rows leave each partition, "
+            "never a global sort materialization.",
         ),
         (
             "link extraction + degree stats (raw html, scan speed)",
