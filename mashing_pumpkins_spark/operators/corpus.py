@@ -44,16 +44,31 @@ def words_array(text: Column) -> Column:
 
 def word_gram_array(w: Column, n: int) -> Column:
     """Overlapping word n-grams joined by single spaces (empty when
-    fewer than n words) — same guard as dedup.word_ngram_jaccard_pairs."""
+    fewer than n words) — same guard as dedup.word_ngram_jaccard_pairs.
+
+    Built as a zip_with chain over n shifted slices, NOT as
+    transform(sequence, i -> slice(w, i+1, n)): higher-order lambdas
+    are interpreted (no codegen, no common-subexpression elimination),
+    so when `w` is itself an expression like split(lower(trim(text)))
+    the transform form re-tokenizes the WHOLE document once per gram —
+    O(words^2) per doc. Short fixture docs hid it; on ~200-word crawl
+    pages the round-7 LM probe measured ~15 ms/doc from exactly this.
+    Here `w` appears only as a zip_with ARGUMENT (evaluated once per
+    row per slice, n evaluations total) and the lambdas touch only
+    their element variables."""
     if n < 1:
         raise ValueError(f"n-gram size must be >= 1, got {n}")
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if n == 1:
+        return w
+    m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    out = F.slice(w, 1, m)
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(w, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
 
 
 def passage_array(w: Column, passage_words: int) -> Column:
