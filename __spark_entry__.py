@@ -1952,6 +1952,65 @@ def q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest — the terminal export stage's lineage
+    record (sources/training_export.py). Every document is assigned a
+    deterministic shard (md5 bucket over seed:url) and a seeded global
+    order key (md5 over order-seed:url), then per-shard docs / whitespace
+    tokens / chars and the order-key range come out of ONE
+    map-side-combinable aggregate. Pure Column algebra — the oracle
+    replays the identical md5 arithmetic in DuckDB."""
+    from mashing_pumpkins_spark.sources.training_export import (
+        shard_assignment,
+        shard_manifest,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return shard_manifest(shard_assignment(docs, n_shards=8, seed=42)).orderBy(
+        "shard_id"
+    )
+
+
+def q_training_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal export edge: documents -> deterministic jsonl.gz shards
+    (ONE shuffle, task-commit writer, sources/training_export.py) ->
+    schema-pinned distributed read-back. shard_id is recovered from the
+    FILE NAME (input_file_name), not recomputed from the row, so the
+    check covers physical routing; each shard's rows fold to a 32-bit
+    md5 value sum the oracle — which never sees the files — recomputes
+    straight from the documents table: byte-exact survival of every
+    (url, text) pair through the write/read cycle."""
+    from mashing_pumpkins_spark.sources.training_export import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    out_dir = _tmpdir("mp_spark_shards_")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    write_training_shards(docs, out_dir, n_shards=8, seed=42).collect()
+    back = read_training_shards(spark, out_dir)
+    val = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("url"), F.lit("\x1f"), F.col("text"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sid = F.regexp_extract(
+        F.input_file_name(), r"shard-(\d+)\.jsonl\.gz", 1
+    ).cast("int")
+    return (
+        back.select(sid.alias("shard_id"), val.alias("v"))
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("v").alias("sum_val"))
+        .orderBy("shard_id")
+    )
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (readability-style main-content extraction):
     each doc is rendered as a page WITH planted link-dense boilerplate
@@ -2175,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_wet_roundtrip": q_warc_wet_roundtrip,
         "main_content": q_main_content,
+        "training_shards": q_training_shards,
+        "training_export_roundtrip": q_training_export_roundtrip,
     }
 
 
@@ -3931,5 +3992,34 @@ def oracle_sql() -> dict[str, str]:
                      as canonical,
                    'www.' || source || '.example.com' as host
             from documents order by doc_id
+        """,
+        # the shard/order keys are md5 over seed-prefixed urls — the exact
+        # idiom the Spark side computes with conv(substr(md5(..),1,8),16,10)
+        "training_shards": r"""
+            with assigned as (
+              select (('0x' || substr(md5('shard:42:' || cast(doc_id as varchar)), 1, 8))::bigint % 8)::int as shard_id,
+                     md5('order:42:' || cast(doc_id as varchar)) as sort_key,
+                     text
+              from documents
+            )
+            select shard_id, count(*) as n_docs,
+                   sum(case when length(trim(text)) = 0 then 0
+                       else len(string_split_regex(trim(text), '\s+')) end)::bigint as n_tokens,
+                   sum(length(text))::bigint as n_chars,
+                   min(sort_key) as first_key,
+                   max(sort_key) as last_key
+            from assigned group by shard_id order by shard_id
+        """,
+        # the oracle never sees the shard files: it recomputes each shard's
+        # routing and per-row 32-bit md5 fold straight from documents, so a
+        # mismatch means the write/read cycle lost, altered or misrouted a row
+        "training_export_roundtrip": """
+            with assigned as (
+              select (('0x' || substr(md5('shard:42:' || cast(doc_id as varchar)), 1, 8))::bigint % 8)::int as shard_id,
+                     ('0x' || substr(md5(cast(doc_id as varchar) || chr(31) || text), 1, 8))::bigint as v
+              from documents
+            )
+            select shard_id, count(*) as n_docs, sum(v)::bigint as sum_val
+            from assigned group by shard_id order by shard_id
         """,
     }

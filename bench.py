@@ -312,6 +312,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "robots_frontier",
         "quality_classifier",
         "cdx_index",
+        "training_shards",
+        "training_export_roundtrip",
         # crawl_budget is deliberately NOT timed: it re-runs the full
         # pagerank fixed point (timed as pagerank_scores) plus one
         # aggregation already covered by the grouped-agg entries

@@ -16,7 +16,9 @@ Cluster usage:
 Writes <output>/survivors (id, text[, url]), <output>/funnel (per-stage
 docs and words) and <output>/manifest.json (the CurationConfig hash that
 pins which funnel produced the table) as parquet/JSON, and prints the
-funnel as JSON lines.
+funnel as JSON lines. --export-shards N additionally materializes the
+kept corpus as N deterministic jsonl.gz training shards (+ shard
+manifest) under <output>/shards — the ready-to-train form.
 
 Gate stages (round-6): --blocked-hosts/--blocked-path-terms enable the
 UT1-style url_filter stage, --robots (a parquet of host,body robots.txt
@@ -93,7 +95,15 @@ def main() -> None:
     ap.add_argument("--lm-tail-cut-e6", type=int, default=None)
     ap.add_argument("--lm-keep", default="head,middle",
                     help="comma-separated perplexity bands to keep")
+    ap.add_argument("--export-shards", type=int, default=None,
+                    help="also export the kept corpus as this many "
+                         "deterministic jsonl.gz training shards under "
+                         "<output>/shards (sources/training_export.py); "
+                         "needs --url-col")
+    ap.add_argument("--export-seed", type=int, default=0)
     args = ap.parse_args()
+    if args.export_shards and not args.url_col:
+        ap.error("--export-shards needs --url-col")
 
     from pyspark.sql import SparkSession
 
@@ -160,6 +170,19 @@ def main() -> None:
         "near_dup_config_hash": near_dup.config_hash() if near_dup else None,
     })
     funnel.write.mode("overwrite").parquet(f"{out}/funnel")
+    if args.export_shards:
+        from mashing_pumpkins_spark.sources.training_export import (
+            export_training_shards,
+        )
+
+        export_training_shards(
+            spark.read.parquet(f"{out}/survivors"),
+            f"{out}/shards",
+            n_shards=args.export_shards,
+            seed=args.export_seed,
+            url_col=args.url_col,
+            text_col=args.text_col,
+        )
     for row in spark.read.parquet(f"{out}/funnel").orderBy("stage_idx").collect():
         print(json.dumps(row.asDict(), default=str))
     spark.stop()
