@@ -455,10 +455,16 @@ def _jpeg_realsize_probe(spark) -> dict:
     total_bytes = sum(len(p) for p in payloads) * n_rep
     total_mp = 640 * 480 * len(payloads) * n_rep / 1e6
     out = {"size": "640x480", "images": len(rows), "backend": jpeg_backend()}
-    # probe every available backend so the record shows BOTH ceilings
-    # where the native wheel exists (the 100 TB escape-hatch evidence) and
-    # documents the wheel-absent fallback where it doesn't
-    backends = ["pure"] + (["pillow"] if jpeg_backend() == "pillow" else [])
+    # probe every available backend so the record shows ALL ceilings:
+    # pure always; the self-compiled C entropy kernel when a toolchain
+    # exists (round-7 escape hatch); Pillow where the wheel exists
+    from mashing_pumpkins_spark.operators import _jpeg_cext
+
+    backends = ["pure"]
+    if _jpeg_cext.load() is not None:
+        backends.append("cext")
+    if jpeg_backend() == "pillow":
+        backends.append("pillow")
     for b in backends:
         t0 = time.monotonic()
         image_summary(df, jpeg_backend=b).count()

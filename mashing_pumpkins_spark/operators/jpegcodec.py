@@ -447,6 +447,30 @@ class _HuffTable:
                 return self.vals[self.valptr[length] + c - self.mincode[length]]
         raise ValueError("invalid Huffman code")
 
+    def blob(self) -> np.ndarray:
+        """This table in the C kernel's int32 layout (_jpeg_cext):
+        fast[256] ((len<<16)|sym, -1 = long code), maxcode[17],
+        mincode[17], valptr[17], vals[256]. Built once, cached."""
+        b = getattr(self, "_blob", None)
+        if b is None:
+            fast = np.array(
+                [((ln << 16) | sym) if ln else -1 for sym, ln in self.fast],
+                dtype=np.int32,
+            )
+            vals = np.zeros(256, dtype=np.int32)
+            vals[: len(self.vals)] = self.vals
+            b = np.concatenate(
+                [
+                    fast,
+                    np.array(self.maxcode, dtype=np.int32),
+                    np.array(self.mincode, dtype=np.int32),
+                    np.array(self.valptr, dtype=np.int32),
+                    vals,
+                ]
+            )
+            self._blob = b
+        return b
+
 
 @_lru_cache(maxsize=256)
 def _huff_table_cached(bits: tuple, vals: tuple) -> "_HuffTable":
@@ -468,40 +492,46 @@ def _extend(bits: int, size: int) -> int:
 
 def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff the entropy-coded data from `start`, splitting at RSTn.
-    Returns (segments, index of the terminating marker's 0xFF)."""
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = start
+    Returns (segments, index of the terminating marker's 0xFF).
+
+    Scans only the 0xFF positions (numpy flatnonzero) instead of every
+    byte, cutting raw segments at RST pairs and unstuffing each with one
+    C-level bytes.replace — semantics identical to the per-byte walk it
+    replaced (every 0xFF in entropy data is either stuffed FF 00, an RST
+    pair, or the scan-terminating marker)."""
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
+    arr = np.frombuffer(data, dtype=np.uint8)
+    raw_parts: list[bytes] = []
+    seg_start = start
+    for pos in np.flatnonzero(arr[start:] == 0xFF):
+        pos = int(pos) + start
+        if pos < seg_start:  # second byte of an already-consumed pair
             continue
-        if i + 1 >= n:
+        if pos + 1 >= n:
             raise ValueError("truncated JPEG stream")
-        m = data[i + 1]
+        m = data[pos + 1]
         if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:  # RSTn
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # any real marker terminates the scan
-            segments.append(bytes(cur))
-            return segments, i
+            continue  # stuffed data byte, resolved by the replace below
+        raw_parts.append(data[seg_start:pos])
+        if 0xD0 <= m <= 0xD7:  # RSTn
+            seg_start = pos + 2
+            continue
+        # any real marker terminates the scan
+        return [p.replace(b"\xff\x00", b"\xff") for p in raw_parts], pos
     raise ValueError("JPEG scan not terminated by a marker")
 
 
-def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
+def decode_jpeg(
+    payload: bytes, max_pixels: int = 64 << 20, *, _cext: bool = False
+) -> np.ndarray:
     """Decode baseline (SOF0), extended-sequential (SOF1) and PROGRESSIVE
     (SOF2) Huffman JPEG to HxW (grayscale) or HxWx3 (RGB) uint8. See
     module docstring for scope; arithmetic / hierarchical / 12-bit raise
     NotImplementedError, malformed input raises ValueError. ``max_pixels``
     caps H*W*components before entropy decode (decompression-bomb guard,
-    same contract as decode_png).
+    same contract as decode_png). ``_cext`` routes baseline entropy scans
+    through the self-compiled C kernel when it loads (decode_jpeg_cext is
+    the public entry; coefficients and pixels are identical either way).
 
     Progressive scans (spectral selection + successive approximation, DC
     and AC first/refinement passes, interleaved DC / non-interleaved AC,
@@ -612,6 +642,7 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
             i = _decode_one_scan(
                 payload, i + 2 + seg_len, frame, scan_sel,
                 ss, se, ah, al, coefs, qts, dc_tabs, ac_tabs, restart_interval,
+                use_cext=_cext,
             )
             any_scan = True
             continue
@@ -624,10 +655,13 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
 
 def _decode_one_scan(
     payload, start, frame, scan_sel, ss, se, ah, al,
-    coefs, qts, dc_tabs, ac_tabs, ri,
+    coefs, qts, dc_tabs, ac_tabs, ri, use_cext=False,
 ):
     """Decode one entropy-coded scan into the coefficient store. Returns
-    the payload index of the scan-terminating marker."""
+    the payload index of the scan-terminating marker. ``use_cext`` sends
+    baseline (non-progressive) scans through the C kernel when loaded —
+    same coefficients, same error contract; progressive scans always take
+    the Python path."""
     fh, fw, comps, progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -679,6 +713,17 @@ def _decode_one_scan(
     if ri and len(segments) < -(-total_units // ri):
         raise ValueError("truncated JPEG scan (missing restart segments)")
 
+    if not progressive and use_cext:
+        from . import _jpeg_cext
+
+        lib = _jpeg_cext.load()
+        if lib is not None:
+            _decode_scan_c(
+                lib, segments, members, comps, coefs, interleaved,
+                mcus_x, nb_x if not interleaved else 1, total_units, ri,
+            )
+            return end
+
     preds = [0] * len(comps)
     eobrun = 0
     br = _BitReader(segments[0])
@@ -711,6 +756,60 @@ def _decode_one_scan(
             )
         unit += 1
     return end
+
+
+def _decode_scan_c(
+    lib, segments, members, comps, coefs, interleaved, mcus_x, nb_x,
+    total_units, ri,
+):
+    """Drive the C kernel over one baseline scan: one call per restart
+    segment (predictors reset per segment, exactly the Python loop's
+    contract). Coefficient grids are written in place."""
+    import ctypes
+
+    from . import _jpeg_cext
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    member_geom = np.zeros(3 * len(members), dtype=np.int32)
+    dc_off = np.zeros(len(members), dtype=np.int32)
+    ac_off = np.zeros(len(members), dtype=np.int32)
+    blob_list, offsets = [], {}
+    offset = 0
+    for m, (ci, dc_tab, ac_tab) in enumerate(members):
+        _cid, hi, vi, _tq = comps[ci]
+        member_geom[3 * m : 3 * m + 3] = (ci, hi, vi)
+        for tab, arr in ((dc_tab, dc_off), (ac_tab, ac_off)):
+            if id(tab) not in offsets:
+                b = tab.blob()
+                offsets[id(tab)] = offset
+                blob_list.append(b)
+                offset += len(b)
+            arr[m] = offsets[id(tab)]
+    tables = np.ascontiguousarray(np.concatenate(blob_list), dtype=np.int32)
+    grids = (ctypes.c_void_p * len(coefs))(*[c.ctypes.data for c in coefs])
+    grid_bx = np.array([c.shape[1] for c in coefs], dtype=np.int64)
+    step = ri if ri else total_units
+    unit, seg_idx = 0, 0
+    while unit < total_units:
+        preds = np.zeros(len(coefs), dtype=np.int64)
+        count = min(step, total_units - unit)
+        seg = segments[seg_idx]
+        rc = lib.mp_decode_scan_units(
+            seg, len(seg), len(members),
+            member_geom.ctypes.data_as(i32p),
+            tables.ctypes.data_as(i32p),
+            dc_off.ctypes.data_as(i32p),
+            ac_off.ctypes.data_as(i32p),
+            1 if interleaved else 0, mcus_x, nb_x,
+            unit, count,
+            grids, grid_bx.ctypes.data_as(i64p),
+            preds.ctypes.data_as(i64p),
+        )
+        if rc:
+            raise ValueError(_jpeg_cext.error_message(rc))
+        unit += count
+        seg_idx += 1
 
 
 def _decode_block(br, zz, dc_tab, ac_tab, pred, eobrun, progressive, ss, se, ah, al):
@@ -833,8 +932,16 @@ def _reconstruct(frame, coefs, qts):
         qt = qts[tq].astype(np.int64)
         grid = coefs[ci]  # (by, bx, 64) zigzag
         by, bx = grid.shape[:2]
-        nat = grid[:, :, UNZIGZAG].reshape(by, bx, 8, 8) * qt
-        pixels = np.einsum("ji,abjk,kl->abil", _M, nat.astype(np.float64), _M) + 128.0
+        nat = grid[:, :, UNZIGZAG].reshape(by * bx, 8, 8) * qt
+        # batched IDCT M.T @ nat @ M as two LARGE GEMMs (8x8-batched
+        # matmul pays per-block dispatch overhead): X = nat @ M, then
+        # M.T @ X = (X.T @ M).T per block
+        x = (nat.astype(np.float64).reshape(-1, 8) @ _M).reshape(-1, 8, 8)
+        xt = np.ascontiguousarray(x.transpose(0, 2, 1)).reshape(-1, 8)
+        pixels = (
+            (xt @ _M).reshape(-1, 8, 8).transpose(0, 2, 1).reshape(by, bx, 8, 8)
+            + 128.0
+        )
         plane = pixels.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:
@@ -1097,12 +1204,14 @@ def encode_jpeg_progressive(
 # ceiling — fine for gate queries, 10-30x below a native lib for a
 # 100 TB multimodal pass. decode_jpeg_auto is the escape hatch: it
 # dispatches to Pillow (libjpeg/libjpeg-turbo) when that wheel is
-# importable on the worker and falls back to the pure decoder otherwise,
-# inside the SAME mapInPandas plumbing (schema, null-row contract, bomb
-# cap all unchanged). Select explicitly with the MP_SPARK_JPEG_BACKEND
-# env var ("pure" | "pillow") — on a cluster, propagate it with
-# spark.executorEnv.MP_SPARK_JPEG_BACKEND; unset means auto-detect
-# per worker process (cached).
+# importable on the worker, else to the self-compiled C entropy kernel
+# (_jpeg_cext — baseline scan loop in C, everything else shared with the
+# pure decoder) when a C toolchain exists, and falls back to the pure
+# decoder otherwise — all inside the SAME mapInPandas plumbing (schema,
+# null-row contract, bomb cap unchanged). Select explicitly with the
+# MP_SPARK_JPEG_BACKEND env var ("pure" | "pillow" | "cext") — on a
+# cluster, propagate it with spark.executorEnv.MP_SPARK_JPEG_BACKEND;
+# unset means auto-detect per worker process (cached).
 
 _BACKEND_CACHE: str | None = None
 
@@ -1110,13 +1219,14 @@ _BACKEND_CACHE: str | None = None
 def jpeg_backend(override: str | None = None) -> str:
     """Resolve the active JPEG decode backend: explicit ``override`` >
     ``MP_SPARK_JPEG_BACKEND`` env > auto-detect ("pillow" iff PIL
-    imports, else "pure"). Detection is cached per process."""
+    imports, else "cext" iff the self-compiled C kernel loads, else
+    "pure"). Detection is cached per process."""
     global _BACKEND_CACHE
     import os
 
     choice = override or os.environ.get("MP_SPARK_JPEG_BACKEND")
     if choice:
-        if choice not in ("pure", "pillow"):
+        if choice not in ("pure", "pillow", "cext"):
             raise ValueError(f"unknown JPEG backend {choice!r}")
         return choice
     if _BACKEND_CACHE is None:
@@ -1125,7 +1235,9 @@ def jpeg_backend(override: str | None = None) -> str:
 
             _BACKEND_CACHE = "pillow"
         except ImportError:
-            _BACKEND_CACHE = "pure"
+            from . import _jpeg_cext
+
+            _BACKEND_CACHE = "cext" if _jpeg_cext.load() is not None else "pure"
     return _BACKEND_CACHE
 
 
@@ -1159,6 +1271,27 @@ def decode_jpeg_auto(
     DC-only blocks — the deterministic oracle fixtures — reconstruct to
     exact flat values under BOTH, so oracle results are
     backend-independent."""
-    if jpeg_backend(backend) == "pillow":
+    resolved = jpeg_backend(backend)
+    if resolved == "pillow":
         return decode_jpeg_pillow(payload, max_pixels)
+    if resolved == "cext":
+        return decode_jpeg_cext(payload, max_pixels)
     return decode_jpeg(payload, max_pixels)
+
+
+def decode_jpeg_cext(payload: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
+    """The pure decoder with the baseline entropy loop in the
+    self-compiled C kernel (_jpeg_cext) — marker parse, table build,
+    dequant/IDCT/color all shared, so coefficients and pixels are
+    IDENTICAL to decode_jpeg (pinned by tests/test_jpeg_cext.py);
+    progressive scans transparently keep the Python path. Raises
+    RuntimeError when the kernel is unavailable — auto-detection
+    (jpeg_backend) only selects "cext" when it loads."""
+    from . import _jpeg_cext
+
+    if _jpeg_cext.load() is None:
+        raise RuntimeError(
+            "JPEG C kernel unavailable (no C toolchain, compile failure, "
+            "or MP_SPARK_JPEG_CEXT=0)"
+        )
+    return decode_jpeg(payload, max_pixels, _cext=True)

@@ -47,13 +47,26 @@ def _block_uniform(h=48, w=32):
     return np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
 
 
-def test_backend_autodetect_matches_pil_presence():
-    assert jpeg_backend() == ("pillow" if HAVE_PIL else "pure")
+def test_backend_autodetect_ladder():
+    """pillow iff PIL imports, else cext iff the self-compiled C kernel
+    loads, else pure (round-7: _jpeg_cext slots between the wheel and
+    the pure fallback)."""
+    from mashing_pumpkins_spark.operators import _jpeg_cext
+
+    if HAVE_PIL:
+        expected = "pillow"
+    elif _jpeg_cext.load() is not None:
+        expected = "cext"
+    else:
+        expected = "pure"
+    assert jpeg_backend() == expected
 
 
 def test_backend_env_override(monkeypatch):
     monkeypatch.setenv("MP_SPARK_JPEG_BACKEND", "pure")
     assert jpeg_backend() == "pure"
+    monkeypatch.setenv("MP_SPARK_JPEG_BACKEND", "cext")
+    assert jpeg_backend() == "cext"
     monkeypatch.setenv("MP_SPARK_JPEG_BACKEND", "bogus")
     with pytest.raises(ValueError, match="unknown JPEG backend"):
         jpeg_backend()
