@@ -62,6 +62,7 @@ from pyspark.sql.types import (
 from ..functions.textstats import whitespace_token_count
 
 __all__ = [
+    "choose_n_shards",
     "shard_assignment",
     "shard_manifest",
     "write_training_shards",
@@ -76,6 +77,25 @@ def _md5_mod(prefix: str, col, n: int):
     non-negative, identical in Spark, DuckDB and hashlib)."""
     key = F.md5(F.concat(F.lit(prefix), col.cast("string")))
     return (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n).cast("int")
+
+
+def choose_n_shards(
+    total_bytes: int,
+    target_shard_bytes: int = 1 << 30,
+    min_shards: int = 1,
+) -> int:
+    """Shard count for a corpus of ``total_bytes`` uncompressed JSON at a
+    target shard size (default 1 GB — the 1-4 GB sweet spot where one
+    shard is one write task and one training-loader unit). Pure
+    arithmetic, same spirit as the adaptive banding default (config.py):
+    compute the knob from the workload instead of hard-coding it."""
+    if total_bytes < 0:
+        raise ValueError(f"total_bytes must be >= 0, got {total_bytes}")
+    if target_shard_bytes <= 0:
+        raise ValueError(
+            f"target_shard_bytes must be positive, got {target_shard_bytes}"
+        )
+    return max(min_shards, -(-total_bytes // target_shard_bytes))
 
 
 def shard_assignment(

@@ -17,12 +17,52 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField
 
 from mashing_pumpkins_spark.sources.training_export import (
+    choose_n_shards,
     export_training_shards,
     read_training_shards,
     shard_assignment,
     shard_manifest,
     write_training_shards,
 )
+
+
+def test_choose_n_shards():
+    gb = 1 << 30
+    assert choose_n_shards(0) == 1
+    assert choose_n_shards(1) == 1
+    assert choose_n_shards(gb) == 1
+    assert choose_n_shards(gb + 1) == 2
+    assert choose_n_shards(100 * gb) == 100
+    assert choose_n_shards(10 * gb, target_shard_bytes=2 * gb) == 5
+    assert choose_n_shards(5, min_shards=8) == 8
+    with pytest.raises(ValueError):
+        choose_n_shards(-1)
+    with pytest.raises(ValueError):
+        choose_n_shards(1, target_shard_bytes=0)
+
+
+def test_rerun_overwrite_is_byte_identical(spark):
+    """The writer is idempotent: deterministic bytes + atomic rename mean
+    a re-run (job retry, speculative twin) over an existing output dir
+    reproduces every shard file exactly."""
+    out = tempfile.mkdtemp(prefix="mp_shards_")
+    try:
+        docs = _corpus(spark, 150)
+        write_training_shards(docs, out, n_shards=4, seed=2).collect()
+        before = {
+            f: open(os.path.join(out, f), "rb").read()
+            for f in os.listdir(out)
+            if f.endswith(".jsonl.gz")
+        }
+        write_training_shards(docs, out, n_shards=4, seed=2).collect()
+        after = {
+            f: open(os.path.join(out, f), "rb").read()
+            for f in os.listdir(out)
+            if f.endswith(".jsonl.gz")
+        }
+        assert before == after and len(before) == 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _corpus(spark, n=200):
