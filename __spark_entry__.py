@@ -2087,6 +2087,31 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_top_k(train, target, k=50, n_buckets=512)
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup semantic dedup (operators/semdedup.py): fixed-point
+    integer k-means (md5-seeded, 2 Lloyd iterations, exact floor-div
+    centroid updates) + within-cluster cosine pruning at tau=0.95,
+    ranked farthest-from-centroid-first per the paper. The synthetic
+    embeddings have no natural 0.95-cosine pairs (max 0.512), so the
+    query PLANTS exact semantic duplicates — a 0.99-scaled copy of
+    every vector under vec_id+100000 — and the pruning must remove
+    exactly one side of each planted pair. Every step (including the
+    Lloyd iterations, unrolled as CTEs) replays bit-identically in the
+    DuckDB oracle because all arithmetic is BIGINT/HUGEINT."""
+    from mashing_pumpkins_spark.operators.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(0.99)).cast("float")
+        ).alias("embedding"),
+    )
+    return semdedup(
+        emb.unionAll(copies), n_clusters=10, tau_ppm=950_000, n_iters=2
+    ).orderBy("vec_id")
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the key web-crawl pre-dedup step): each doc
     gets a deterministically MESSY absolute URL (scheme/host case variants,
@@ -2227,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "lm_perplexity": q_lm_perplexity,
         "dsir_select": q_dsir_select,
+        "semdedup_prune": q_semdedup_prune,
         "source_similarity": q_source_similarity,
         "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
@@ -3976,6 +4002,138 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, n_feats, weight_e6
             from agg
             order by weight_e6 desc, doc_id asc limit 50
+        """,
+        "semdedup_prune": """
+            with base as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 100000 as vec_id,
+                     list_transform(embedding,
+                       x -> cast(cast(x as double) * cast(0.99 as double) as real))
+                       as embedding
+              from embeddings
+            ),
+            pts as (
+              select vec_id, q,
+                     cast(list_sum(list_transform(q, v -> v * v)) as bigint) as norm2
+              from (
+                select vec_id,
+                       list_transform(embedding,
+                         x -> cast(floor(cast(x as double) * 1000) as bigint)) as q
+                from base
+              )
+            ),
+            dim as (select len(q) as m from pts limit 1),
+            c0 as (
+              select row_number() over
+                       (order by md5(cast(vec_id as varchar)), vec_id) - 1 as cid,
+                     q, norm2
+              from pts
+              qualify row_number() over
+                       (order by md5(cast(vec_id as varchar)), vec_id) <= 10
+            ),
+            d1 as (
+              select p.vec_id, c.cid,
+                     p.norm2 - 2 * cast(list_sum(list_transform(
+                       generate_series(1, len(p.q)), i -> p.q[i] * c.q[i]))
+                       as bigint) + c.norm2 as d
+              from pts p cross join c0 c
+            ),
+            a1 as (
+              select vec_id, cid from d1
+              qualify row_number() over
+                       (partition by vec_id order by d, cid) = 1
+            ),
+            s1 as (
+              select a.cid, idx.i, sum(p.q[idx.i]) as s, count(*) as n
+              from a1 a join pts p using (vec_id)
+              cross join (select unnest(generate_series(1, (select m from dim))) as i) idx
+              group by a.cid, idx.i
+            ),
+            u1 as (
+              select cid, array_agg(comp order by i) as q,
+                     cast(sum(comp * comp) as bigint) as norm2
+              from (select cid, i,
+                           cast((s - (((s % n) + n) % n)) // n as bigint) as comp
+                    from s1)
+              group by cid
+            ),
+            c1 as (
+              select c0.cid, coalesce(u1.q, c0.q) as q,
+                     coalesce(u1.norm2, c0.norm2) as norm2
+              from c0 left join u1 using (cid)
+            ),
+            d2 as (
+              select p.vec_id, c.cid,
+                     p.norm2 - 2 * cast(list_sum(list_transform(
+                       generate_series(1, len(p.q)), i -> p.q[i] * c.q[i]))
+                       as bigint) + c.norm2 as d
+              from pts p cross join c1 c
+            ),
+            a2 as (
+              select vec_id, cid from d2
+              qualify row_number() over
+                       (partition by vec_id order by d, cid) = 1
+            ),
+            s2 as (
+              select a.cid, idx.i, sum(p.q[idx.i]) as s, count(*) as n
+              from a2 a join pts p using (vec_id)
+              cross join (select unnest(generate_series(1, (select m from dim))) as i) idx
+              group by a.cid, idx.i
+            ),
+            u2 as (
+              select cid, array_agg(comp order by i) as q,
+                     cast(sum(comp * comp) as bigint) as norm2
+              from (select cid, i,
+                           cast((s - (((s % n) + n) % n)) // n as bigint) as comp
+                    from s2)
+              group by cid
+            ),
+            c2 as (
+              select c1.cid, coalesce(u2.q, c1.q) as q,
+                     coalesce(u2.norm2, c1.norm2) as norm2
+              from c1 left join u2 using (cid)
+            ),
+            df as (
+              select p.vec_id, c.cid,
+                     p.norm2 - 2 * cast(list_sum(list_transform(
+                       generate_series(1, len(p.q)), i -> p.q[i] * c.q[i]))
+                       as bigint) + c.norm2 as d
+              from pts p cross join c2 c
+            ),
+            af as (
+              select vec_id, cid, d from df
+              qualify row_number() over
+                       (partition by vec_id order by d, cid) = 1
+            ),
+            ranked as (
+              select af.vec_id, af.cid as cluster_id, af.d as dist2,
+                     p.q, p.norm2,
+                     row_number() over (partition by af.cid
+                                        order by af.d desc, af.vec_id asc) as rnk
+              from af join pts p using (vec_id)
+            ),
+            dots as (
+              select hi.vec_id,
+                     cast(list_sum(list_transform(
+                       generate_series(1, len(hi.q)), i -> hi.q[i] * lo.q[i]))
+                       as bigint) as dot,
+                     hi.norm2 as n2h, lo.norm2 as n2l
+              from ranked hi join ranked lo
+                on hi.cluster_id = lo.cluster_id and lo.rnk < hi.rnk
+            ),
+            rem as (
+              select distinct vec_id from dots
+              where dot > 0
+                and cast(dot as hugeint) * cast(dot as hugeint)
+                    * cast(1000000000000 as hugeint)
+                    >= cast(902500000000 as hugeint)
+                      * cast(n2h as hugeint) * cast(n2l as hugeint)
+            )
+            select r.vec_id, cast(r.cluster_id as bigint) as cluster_id,
+                   r.dist2, (rem.vec_id is null) as kept
+            from ranked r left join rem on rem.vec_id = r.vec_id
+            order by r.vec_id
         """,
         "url_canonical": """
             select doc_id,
