@@ -114,6 +114,77 @@ def _assign_expr(centroids: list[tuple[int, list[int], int]]) -> Column:
     return F.struct(best["cid"].alias("cid"), best["d"].alias("dist2"))
 
 
+# above this many centroids the k*dim literal expression tree stops being
+# the right plan (Catalyst build time, codegen limits) and the vectorized
+# Arrow path wins; both compute the IDENTICAL integer formula
+_LITERAL_ASSIGN_MAX_K = 64
+
+
+def _assigned(
+    quant: DataFrame,
+    centroids: list[tuple[int, list[int], int]],
+    backend: str = "auto",
+) -> DataFrame:
+    """quant + (_cid long, _dist2 long) columns for the nearest centroid.
+
+    backend='literal' folds the centroids into a pure-Column projection
+    (no join/shuffle/Python — the plan audited in PLANS.md);
+    backend='numpy' is the large-k scale path: ONE mapInArrow stage
+    computing D = norm2[:,None] - 2*(Q @ C.T) + cn2[None,:] with
+    float64 BLAS, which is EXACT for this operator's bounds (|q[i]|
+    <= ~4e3 at dim 64 keeps every product <= 2^24 and every partial
+    sum < 2^53, so no float64 rounding can occur) and np.argmin
+    breaks ties to the smaller cid exactly like the struct ordering."""
+    if backend == "auto":
+        backend = "literal" if len(centroids) <= _LITERAL_ASSIGN_MAX_K else "numpy"
+    if backend == "literal":
+        a = _assign_expr(centroids)
+        return quant.withColumn("_cid", a["cid"].cast("long")).withColumn(
+            "_dist2", a["dist2"]
+        )
+    if backend != "numpy":
+        raise ValueError(f"unknown assign backend: {backend!r}")
+
+    import numpy as np
+    import pyarrow as pa
+
+    cmat = np.array([c[1] for c in centroids], dtype=np.float64)
+    cn2 = np.array([c[2] for c in centroids], dtype=np.float64)
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    dim = cmat.shape[1]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # StructType.add MUTATES; build a fresh schema so quant's is untouched
+    out_schema = StructType(
+        list(quant.schema.fields)
+        + [StructField("_cid", LongType()), StructField("_dist2", LongType())]
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def assign_batches_typed(batches):
+        for b in batches:
+            qcol = b.column(b.schema.get_field_index("q"))
+            flat = qcol.flatten().to_numpy(zero_copy_only=False)
+            qmat = flat.astype(np.float64).reshape(len(qcol), dim)
+            n2 = (
+                b.column(b.schema.get_field_index("norm2"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            d = n2[:, None] - 2.0 * (qmat @ cmat.T) + cn2[None, :]
+            a = d.argmin(axis=1)
+            cols = list(b.columns) + [
+                pa.array(cids[a], type=pa.int64()),
+                pa.array(d[np.arange(len(a)), a].astype(np.int64), type=pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return quant.mapInArrow(assign_batches_typed, out_schema)
+
+
 def _floordiv(s: Column, n: Column) -> Column:
     """Exact floor division for possibly-negative BIGINT sums, written
     so the identical expression replays in ANSI SQL (the oracle uses
@@ -127,7 +198,11 @@ def _floordiv(s: Column, n: Column) -> Column:
 
 
 def fit_centroids(
-    quant: DataFrame, n_clusters: int, n_iters: int, id_col: str = "vec_id"
+    quant: DataFrame,
+    n_clusters: int,
+    n_iters: int,
+    id_col: str = "vec_id",
+    assign_backend: str = "auto",
 ) -> list[tuple[int, list[int], int]]:
     """Deterministic fixed-point Lloyd iterations; returns the final
     [(cid, vector, norm2)] list (k rows — driver-side by design, like
@@ -146,8 +221,8 @@ def fit_centroids(
         for i, r in enumerate(seed_rows)
     ]
     for _ in range(n_iters):
-        assigned = quant.withColumn("_a", _assign_expr(centroids)).select(
-            F.col("_a.cid").alias("cid"), F.posexplode("q").alias("pos", "val")
+        assigned = _assigned(quant, centroids, assign_backend).select(
+            F.col("_cid").alias("cid"), F.posexplode("q").alias("pos", "val")
         )
         sums = (
             assigned.groupBy("cid", "pos")
@@ -179,22 +254,25 @@ def semdedup(
     max_cluster_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_backend: str = "auto",
 ) -> DataFrame:
     """Full SemDedup pass: (id, cluster_id, dist2, kept).  `tau_ppm` is
     the cosine threshold in parts-per-million (950_000 = 0.95).
     `max_cluster_size` salts clusters larger than the cap into
-    deterministic md5 subclusters before the pairwise stage."""
+    deterministic md5 subclusters before the pairwise stage.
+    `assign_backend`: 'literal' | 'numpy' | 'auto' (numpy above
+    _LITERAL_ASSIGN_MAX_K centroids) — identical integer semantics."""
     if not 0 < tau_ppm <= 1_000_000:
         raise ValueError(f"tau_ppm must be in (0, 1e6], got {tau_ppm}")
     quant = quantize_embeddings(emb, id_col, vec_col).persist()
     try:
-        centroids = fit_centroids(quant, n_clusters, n_iters, id_col)
-        pts = quant.withColumn("_a", _assign_expr(centroids)).select(
+        centroids = fit_centroids(quant, n_clusters, n_iters, id_col, assign_backend)
+        pts = _assigned(quant, centroids, assign_backend).select(
             F.col(id_col),
             F.col("q"),
             F.col("norm2"),
-            F.col("_a.cid").alias("cluster_id"),
-            F.col("_a.dist2").alias("dist2"),
+            F.col("_cid").alias("cluster_id"),
+            F.col("_dist2").alias("dist2"),
         )
         if max_cluster_size is not None:
             if max_cluster_size < 1:

@@ -122,6 +122,21 @@ def test_semdedup_removes_planted_duplicates(spark):
         assert rows[i]["cluster_id"] == rows[i + 100_000]["cluster_id"]
 
 
+def test_semdedup_numpy_backend_equals_literal(spark):
+    # the scale backend (float64 BLAS, exact under the documented < 2^53
+    # bounds) must reproduce the literal-Column plan bit-for-bit
+    df = _mk_emb(spark, n=150, dim=24, seed=9)
+    lit = semdedup(
+        df, n_clusters=7, tau_ppm=450_000, assign_backend="literal"
+    ).collect()
+    npy = semdedup(
+        df, n_clusters=7, tau_ppm=450_000, assign_backend="numpy"
+    ).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, npy))
+    with pytest.raises(ValueError):
+        semdedup(df, n_clusters=2, assign_backend="bogus")
+
+
 def test_semdedup_partitioning_invariant(spark):
     df = _mk_emb(spark, n=90, dim=16, seed=11)
     a = semdedup(df.repartition(1), n_clusters=5, tau_ppm=500_000).collect()
