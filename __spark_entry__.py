@@ -2112,6 +2112,94 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic signed hashed-TF document embedding
+    (functions/embed.py — the hashing trick of Weinberger et al.): each
+    token md5-hashes to a bucket and an independent sign, components are
+    exact floor(scale * signed_sum / n_tokens). Exploded to
+    (doc_id, pos, val) so the oracle compares every component: DuckDB
+    recomputes the same bucket/sign sums by group-by and the same posmod
+    floor division."""
+    from mashing_pumpkins_spark.functions.embed import hashed_doc_embedding
+
+    docs = _docs(spark, sf_dir)
+    emb = docs.select(
+        "doc_id", hashed_doc_embedding(F.col("text"), dim=8).alias("e")
+    )
+    return (
+        emb.select("doc_id", F.posexplode("e").alias("pos", "v"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("v").cast("bigint").alias("val"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+def q_semdedup_text_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup straight off TEXT — no external encoder
+    (operators/semdedup.semantic_text_dedup): signed hashed-TF embedding
+    (dim 16) feeding the fixed-point k-means + cosine prune. The query
+    plants an exact copy of every document under doc_id+100000;
+    identical token multisets embed IDENTICALLY, so each planted pair
+    sits at cosine 1 and the prune must drop exactly one side. The
+    oracle replays the WHOLE chain — tokenize, bucket/sign sums, floor-
+    div embedding, quantize, one unrolled Lloyd iteration, farthest-
+    first rank, 128-bit rational cosine test — in DuckDB SQL."""
+    from mashing_pumpkins_spark.operators.semdedup import semantic_text_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    return semantic_text_dedup(
+        docs.unionAll(copies),
+        n_clusters=8,
+        tau_ppm=980_000,
+        n_iters=1,
+        dim=16,
+        id_col="doc_id",
+    ).orderBy("doc_id")
+
+
+def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index dedup (sources/cdx.dedup_index) — the crawl-side dedup
+    tier that runs before any fetch: three captures are planted per URL
+    (two byte-identical recrawls sharing a digest + one content change
+    at the newest timestamp), and the operator collapses them to one
+    row per (surt, digest) with revisit counts and the is_latest
+    current-content flag. The oracle enumerates the expected collapse
+    from the construction arithmetic with its own window functions."""
+    from mashing_pumpkins_spark.functions.urltools import surt_key
+    from mashing_pumpkins_spark.sources.cdx import dedup_index
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://www."),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    caps = docs.select(
+        surt_key(url).alias("surt"), F.col("doc_id")
+    ).select(
+        "surt",
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    )
+    ts = F.concat(
+        F.lit("202602"),
+        F.lpad((F.lit(10) + F.col("k")).cast("string"), 2, "0"),
+        F.lit("103000"),
+    )
+    digest = F.concat(
+        F.lit("D"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("k") == 2, F.lit("x")).otherwise(F.lit("")),
+    )
+    cdx = caps.select("surt", ts.alias("ts_raw"), digest.alias("digest"))
+    return dedup_index(cdx).orderBy("surt", "digest")
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the key web-crawl pre-dedup step): each doc
     gets a deterministically MESSY absolute URL (scheme/host case variants,
@@ -2253,6 +2341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_select": q_dsir_select,
         "semdedup_prune": q_semdedup_prune,
+        "doc_embedding": q_doc_embedding,
+        "semdedup_text_prune": q_semdedup_text_prune,
+        "cdx_dedup": q_cdx_dedup,
         "source_similarity": q_source_similarity,
         "pii_scrub": q_pii_scrub,
         "events_hourly": q_events_hourly,
@@ -4134,6 +4225,198 @@ def oracle_sql() -> dict[str, str]:
                    r.dist2, (rem.vec_id is null) as kept
             from ranked r left join rem on rem.vec_id = r.vec_id
             order by r.vec_id
+        """,
+        # signed hashed-TF embedding: the oracle recomputes the bucket/sign
+        # sums by group-by (vs Spark's fold-into-the-scan accumulator) and
+        # the identical posmod floor division — independent mechanics, same
+        # exact integers
+        "doc_embedding": r"""
+            with toks as (
+              select doc_id,
+                     unnest(case when length(trim(text)) > 0
+                        then string_split_regex(lower(trim(text)), '\s+')
+                        else [] end) as w
+              from documents
+            ),
+            nt as (select doc_id, count(*)::bigint as n from toks group by doc_id),
+            bsum as (
+              select doc_id,
+                     ('0x' || substr(md5(w), 1, 8))::bigint % 8 as pos,
+                     sum(case when ('0x' || substr(md5(w), 9, 8))::bigint % 2 = 0
+                         then 1 else -1 end)::bigint as s
+              from toks group by doc_id, pos
+            ),
+            grid as (
+              select d.doc_id, p.pos
+              from documents d
+              cross join (select unnest(generate_series(0, 7)) as pos) p
+            )
+            select g.doc_id, g.pos::int as pos,
+                   (case when coalesce(nt.n, 0) = 0 then 0
+                         else ((coalesce(bs.s, 0) * 100)
+                               - ((((coalesce(bs.s, 0) * 100) % nt.n) + nt.n) % nt.n))
+                              // nt.n
+                    end)::bigint as val
+            from grid g
+            left join nt on nt.doc_id = g.doc_id
+            left join bsum bs on bs.doc_id = g.doc_id and bs.pos = g.pos
+            order by g.doc_id, g.pos
+        """,
+        # text -> embedding -> k-means -> cosine prune, ALL replayed: the
+        # tokenize/bucket/floor-div chain feeds the same unrolled-Lloyd +
+        # HUGEINT prune structure as the semdedup_prune oracle (1 iteration,
+        # k=8, dim=16, tau 0.98 -> tau^2 = 960400000000)
+        "semdedup_text_prune": r"""
+            with base as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 100000 as doc_id, text from documents
+            ),
+            toks as (
+              select doc_id,
+                     unnest(case when length(trim(text)) > 0
+                        then string_split_regex(lower(trim(text)), '\s+')
+                        else [] end) as w
+              from base
+            ),
+            nt as (select doc_id, count(*)::bigint as n from toks group by doc_id),
+            bsum as (
+              select doc_id,
+                     ('0x' || substr(md5(w), 1, 8))::bigint % 16 as pos,
+                     sum(case when ('0x' || substr(md5(w), 9, 8))::bigint % 2 = 0
+                         then 1 else -1 end)::bigint as s
+              from toks group by doc_id, pos
+            ),
+            grid as (
+              select b.doc_id, p.pos
+              from base b
+              cross join (select unnest(generate_series(0, 15)) as pos) p
+            ),
+            vecs as (
+              select g.doc_id,
+                     list((case when coalesce(nt.n, 0) = 0 then 0
+                           else ((coalesce(bs.s, 0) * 100)
+                                 - ((((coalesce(bs.s, 0) * 100) % nt.n) + nt.n) % nt.n))
+                                // nt.n
+                      end)::bigint order by g.pos) as v
+              from grid g
+              left join nt on nt.doc_id = g.doc_id
+              left join bsum bs on bs.doc_id = g.doc_id and bs.pos = g.pos
+              group by g.doc_id
+            ),
+            pts as (
+              select doc_id, q,
+                     cast(list_sum(list_transform(q, x -> x * x)) as bigint) as norm2
+              from (
+                select doc_id,
+                       list_transform(v, x -> cast(x * 1000 as bigint)) as q
+                from vecs
+              )
+            ),
+            dim as (select len(q) as m from pts limit 1),
+            c0 as (
+              select row_number() over
+                       (order by md5(cast(doc_id as varchar)), doc_id) - 1 as cid,
+                     q, norm2
+              from pts
+              qualify row_number() over
+                       (order by md5(cast(doc_id as varchar)), doc_id) <= 8
+            ),
+            d1 as (
+              select p.doc_id, c.cid,
+                     p.norm2 - 2 * cast(list_sum(list_transform(
+                       generate_series(1, len(p.q)), i -> p.q[i] * c.q[i]))
+                       as bigint) + c.norm2 as d
+              from pts p cross join c0 c
+            ),
+            a1 as (
+              select doc_id, cid from d1
+              qualify row_number() over
+                       (partition by doc_id order by d, cid) = 1
+            ),
+            s1 as (
+              select a.cid, idx.i, sum(p.q[idx.i]) as s, count(*) as n
+              from a1 a join pts p using (doc_id)
+              cross join (select unnest(generate_series(1, (select m from dim))) as i) idx
+              group by a.cid, idx.i
+            ),
+            u1 as (
+              select cid, array_agg(comp order by i) as q,
+                     cast(sum(comp * comp) as bigint) as norm2
+              from (select cid, i,
+                           cast((s - (((s % n) + n) % n)) // n as bigint) as comp
+                    from s1)
+              group by cid
+            ),
+            c1 as (
+              select c0.cid, coalesce(u1.q, c0.q) as q,
+                     coalesce(u1.norm2, c0.norm2) as norm2
+              from c0 left join u1 using (cid)
+            ),
+            df as (
+              select p.doc_id, c.cid,
+                     p.norm2 - 2 * cast(list_sum(list_transform(
+                       generate_series(1, len(p.q)), i -> p.q[i] * c.q[i]))
+                       as bigint) + c.norm2 as d
+              from pts p cross join c1 c
+            ),
+            af as (
+              select doc_id, cid, d from df
+              qualify row_number() over
+                       (partition by doc_id order by d, cid) = 1
+            ),
+            ranked as (
+              select af.doc_id, af.cid as cluster_id, af.d as dist2,
+                     p.q, p.norm2,
+                     row_number() over (partition by af.cid
+                                        order by af.d desc, af.doc_id asc) as rnk
+              from af join pts p using (doc_id)
+            ),
+            dots as (
+              select hi.doc_id,
+                     cast(list_sum(list_transform(
+                       generate_series(1, len(hi.q)), i -> hi.q[i] * lo.q[i]))
+                       as bigint) as dot,
+                     hi.norm2 as n2h, lo.norm2 as n2l
+              from ranked hi join ranked lo
+                on hi.cluster_id = lo.cluster_id and lo.rnk < hi.rnk
+            ),
+            rem as (
+              select distinct doc_id from dots
+              where dot > 0
+                and cast(dot as hugeint) * cast(dot as hugeint)
+                    * cast(1000000000000 as hugeint)
+                    >= cast(960400000000 as hugeint)
+                      * cast(n2h as hugeint) * cast(n2l as hugeint)
+            )
+            select r.doc_id, cast(r.cluster_id as bigint) as cluster_id,
+                   r.dist2, (rem.doc_id is null) as kept
+            from ranked r left join rem on rem.doc_id = r.doc_id
+            order by r.doc_id
+        """,
+        # CDX dedup: the oracle rebuilds the planted three-captures-per-url
+        # index from the construction arithmetic and collapses it with its
+        # own window function (vs the engine's Window-free max(struct) winner)
+        "cdx_dedup": """
+            with caps as (
+              select 'com,example,' || source || ',www)/page/' || doc_id as surt,
+                     '202602' || lpad((10 + t.k)::varchar, 2, '0') || '103000'
+                       as ts_raw,
+                     'D' || doc_id
+                       || (case when t.k = 2 then 'x' else '' end) as digest
+              from documents, unnest([0, 1, 2]) as t(k)
+            ),
+            g as (
+              select surt, digest, min(ts_raw) as first_ts,
+                     max(ts_raw) as last_ts, count(*)::bigint as n_captures
+              from caps group by surt, digest
+            )
+            select surt, digest, first_ts, last_ts, n_captures,
+                   (n_captures - 1)::bigint as n_revisits,
+                   (row_number() over (partition by surt
+                                       order by last_ts desc, digest desc) = 1)
+                     as is_latest
+            from g order by surt, digest
         """,
         "url_canonical": """
             select doc_id,

@@ -72,6 +72,7 @@ def curation_funnel(
     lm_tail_cut_e6: int | None = None,
     lm_keep: tuple[str, ...] = ("head", "middle"),
     near_dup_checkpoint_dir: str | None = None,
+    semantic: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (funnel, survivors): funnel is one row per stage with
     (stage_idx, stage, n_docs, n_words); survivors is the post-funnel
@@ -104,7 +105,16 @@ def curation_funnel(
     without it the stage runs as one chained flow plan
     (run_pipeline_flow). This stage is hash-valued, so the
     SQL-replayable driver query leaves it off; its own correctness gate
-    is the `pipeline_clusters` oracle."""
+    is the `pipeline_clusters` oracle.
+
+    `semantic` (round-7) appends a SemDedup stage AFTER near-dup — the
+    paper's placement: text dedup first, then embedding-space pruning
+    of what text similarity cannot see. The dict is forwarded to
+    operators/semdedup.semantic_text_dedup (keys: n_clusters — default
+    16 — tau_ppm, n_iters, dim, max_cluster_size, assign_backend); the
+    embedding is the model-free signed hashed-TF projection, so this
+    stage too is exact integer math (its own gate is the
+    `semdedup_text_prune` oracle; the funnel wiring is suite-tested)."""
     url_gates = bool(blocked_hosts or blocked_path_terms)
     if (url_gates or robots_rules is not None) and url_col is None:
         raise ValueError("url_filter/robots stages require url_col")
@@ -313,6 +323,32 @@ def curation_funnel(
         ).select(
             F.lit(len(specs)).alias("stage_idx"),
             F.lit("near_dup").alias("stage"),
+            "n_docs",
+            "n_words",
+        )
+        funnel = funnel.unionAll(extra)
+
+    if semantic is not None:
+        from .semdedup import semantic_text_dedup
+
+        sem_kw = dict(semantic)
+        sem_kw.setdefault("n_clusters", 16)
+        marks = semantic_text_dedup(
+            survivors, id_col=id_col, text_col=text_col, **sem_kw
+        )
+        sem_losers = marks.where(~F.col("kept")).select(
+            F.col(id_col).alias("_sem_loser")
+        )
+        survivors = survivors.join(
+            sem_losers, F.col(id_col) == F.col("_sem_loser"), "left_anti"
+        )
+        sem_idx = len(specs) + (1 if near_dup is not None else 0)
+        extra = survivors.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(wc), F.lit(0)).cast("long").alias("n_words"),
+        ).select(
+            F.lit(sem_idx).alias("stage_idx"),
+            F.lit("semantic").alias("stage"),
             "n_docs",
             "n_words",
         )

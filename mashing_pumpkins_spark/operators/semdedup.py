@@ -246,6 +246,47 @@ def fit_centroids(
     return centroids
 
 
+def semantic_text_dedup(
+    docs: DataFrame,
+    n_clusters: int,
+    tau_ppm: int = 980_000,
+    n_iters: int = 2,
+    dim: int = 64,
+    max_cluster_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    assign_backend: str = "auto",
+) -> DataFrame:
+    """SemDedup straight off a TEXT column — no external encoder: the
+    documents are embedded by the deterministic signed hashed-TF
+    projection (functions/embed.hashed_doc_embedding, one scan of pure
+    Column algebra) and the standard fixed-point semdedup() pass runs
+    on the result.  Returns (id, cluster_id, dist2, kept).
+
+    The default tau is higher than the embedding-input default
+    (0.98 vs 0.95): hashed-TF vectors of near-duplicate documents sit
+    at cosine ~1 (identical token multisets embed IDENTICALLY — the
+    projection is scale-invariant under doc concatenation with itself),
+    while topically-similar-but-distinct pages land well below; the
+    high threshold keeps this a DEDUP pass, not a topic collapse.
+    Everything (embedding included) replays exactly in ANSI SQL."""
+    from ..functions.embed import hashed_doc_embedding
+
+    emb = docs.select(
+        F.col(id_col),
+        hashed_doc_embedding(F.col(text_col), dim=dim).alias("embedding"),
+    )
+    return semdedup(
+        emb,
+        n_clusters=n_clusters,
+        tau_ppm=tau_ppm,
+        n_iters=n_iters,
+        max_cluster_size=max_cluster_size,
+        id_col=id_col,
+        assign_backend=assign_backend,
+    )
+
+
 def semdedup(
     emb: DataFrame,
     n_clusters: int,

@@ -42,3 +42,42 @@ def parse_cdx(lines: DataFrame, line_col: str = "line") -> DataFrame:
         F.get_json_object(js, "$.filename").alias("warc_filename"),
         F.get_json_object(js, "$.offset").try_cast("bigint").alias("warc_offset"),
     )
+
+def dedup_index(cdx: DataFrame) -> DataFrame:
+    """Collapse a CDX index to unique content per URL — the crawl-side
+    dedup tier that runs BEFORE any page is fetched: Common Crawl
+    records a recrawl of byte-identical content as a revisit of an
+    earlier capture (same content digest), and point-in-time fetch
+    planning wants only the LATEST capture of each SURT.  One output
+    row per (surt, digest): the capture count collapsed into it, the
+    first/last capture timestamps, how many were revisits (later
+    same-digest recrawls = fetches a deduplicating crawler skips), and
+    whether this digest is the surt's CURRENT content (the digest of
+    the most recent capture, ties to the larger digest string).
+
+    Scale shape: two map-side-combinable aggregates — groupBy
+    (surt, digest) then a surt-keyed winner via max(struct(last_ts,
+    digest)) (the Window-free winner discipline of robots.py) — joined
+    back on surt.  No window over raw captures: a hot URL recrawled
+    millions of times costs its group one combined row, not a
+    single-task sort."""
+    g = cdx.groupBy("surt", "digest").agg(
+        F.min("ts_raw").alias("first_ts"),
+        F.max("ts_raw").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    latest = g.groupBy("surt").agg(
+        F.max(F.struct(F.col("last_ts"), F.col("digest"))).alias("_w")
+    )
+    return (
+        g.join(latest, "surt")
+        .select(
+            "surt",
+            "digest",
+            "first_ts",
+            "last_ts",
+            "n_captures",
+            (F.col("n_captures") - F.lit(1)).alias("n_revisits"),
+            (F.col("digest") == F.col("_w")["digest"]).alias("is_latest"),
+        )
+    )

@@ -101,6 +101,18 @@ def main() -> None:
                          "<output>/shards (sources/training_export.py); "
                          "needs --url-col")
     ap.add_argument("--export-seed", type=int, default=0)
+    ap.add_argument("--semdedup", action="store_true",
+                    help="append a SemDedup stage after near-dup: "
+                         "model-free signed hashed-TF embedding + "
+                         "fixed-point k-means + cosine prune "
+                         "(operators/semdedup.semantic_text_dedup)")
+    ap.add_argument("--semdedup-clusters", type=int, default=16)
+    ap.add_argument("--semdedup-tau-ppm", type=int, default=980_000)
+    ap.add_argument("--semdedup-iters", type=int, default=2)
+    ap.add_argument("--semdedup-dim", type=int, default=64)
+    ap.add_argument("--semdedup-max-cluster-size", type=int, default=None,
+                    help="salt clusters above this size into md5 "
+                         "subclusters before the pairwise prune")
     args = ap.parse_args()
     if args.export_shards and not args.url_col:
         ap.error("--export-shards needs --url-col")
@@ -152,6 +164,15 @@ def main() -> None:
     lm_reference = (
         spark.read.parquet(args.lm_reference) if args.lm_reference else None
     )
+    semantic = None
+    if args.semdedup:
+        semantic = {
+            "n_clusters": args.semdedup_clusters,
+            "tau_ppm": args.semdedup_tau_ppm,
+            "n_iters": args.semdedup_iters,
+            "dim": args.semdedup_dim,
+            "max_cluster_size": args.semdedup_max_cluster_size,
+        }
     funnel, survivors = curation_funnel(
         docs,
         benchmark,
@@ -161,6 +182,7 @@ def main() -> None:
         robots_rules=robots_rules,
         lm_reference=lm_reference,
         near_dup_checkpoint_dir=args.near_dup_checkpoint_dir,
+        semantic=semantic,
         **cur_cfg.funnel_kwargs(),
     )
     out = args.output.rstrip("/")

@@ -51,3 +51,34 @@ def test_parse_cdx_malformed_lines_null_not_fail(spark):
     assert rows[0]["url"] is None
     assert rows[1]["dt"] is None and rows[1]["status"] is None
     assert rows[2]["url"] is None
+
+
+def test_dedup_index_collapses_revisits_and_flags_latest(spark):
+    from mashing_pumpkins_spark.sources.cdx import dedup_index
+
+    rows = [
+        # urlA: same digest captured 3x (2 revisits), then new content
+        ("com,a)/", "20260101000000", "D1"),
+        ("com,a)/", "20260102000000", "D1"),
+        ("com,a)/", "20260103000000", "D1"),
+        ("com,a)/", "20260104000000", "D2"),
+        # urlB: single capture
+        ("com,b)/", "20260101000000", "D9"),
+        # urlC: latest-ts tie between two digests -> larger digest wins
+        ("com,c)/", "20260105000000", "Dx"),
+        ("com,c)/", "20260105000000", "Dy"),
+    ]
+    cdx = spark.createDataFrame(rows, "surt string, ts_raw string, digest string")
+    got = {
+        (r["surt"], r["digest"]): r
+        for r in dedup_index(cdx).collect()
+    }
+    assert len(got) == 5
+    a1 = got[("com,a)/", "D1")]
+    assert a1["n_captures"] == 3 and a1["n_revisits"] == 2
+    assert a1["first_ts"] == "20260101000000" and a1["last_ts"] == "20260103000000"
+    assert not a1["is_latest"]
+    a2 = got[("com,a)/", "D2")]
+    assert a2["n_captures"] == 1 and a2["n_revisits"] == 0 and a2["is_latest"]
+    assert got[("com,b)/", "D9")]["is_latest"]
+    assert got[("com,c)/", "Dy")]["is_latest"] and not got[("com,c)/", "Dx")]["is_latest"]

@@ -216,6 +216,61 @@ def test_curation_funnel_near_dup_stage_keeps_one_representative(spark):
     assert ids == [10, 20, 21, 22, 23]  # rep '10' < '11' lexicographically
 
 
+def test_curation_funnel_semantic_stage_prunes_exact_copy(spark):
+    """The semantic (SemDedup) stage sits after near_dup and prunes one
+    side of an exact-copy pair that survives everything upstream; its
+    counts equal a standalone semantic_text_dedup run on the same
+    survivors."""
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+    from mashing_pumpkins_spark.operators.semdedup import semantic_text_dedup
+
+    # a token PERMUTATION: different text (so exact dedup keeps both) but
+    # the same bag of words — exactly what embedding-space dedup catches
+    # and text-identity dedup cannot
+    base = " ".join(f"tok{j}" for j in range(60))
+    perm = " ".join(f"tok{j}" for j in reversed(range(60)))
+    rows = [(10, base, "s"), (11, perm, "s")] + [
+        (20 + i, " ".join(f"d{i}w{j}" for j in range(40)), "s") for i in range(4)
+    ]
+    sem = {"n_clusters": 2, "tau_ppm": 980_000, "n_iters": 1, "dim": 32}
+    # max_dup_frac=1.0 disables the passage cut so the pair reaches the
+    # semantic stage (near_dup off: this isolates the new stage)
+    funnel, survivors = curation_funnel(
+        _docs(spark, rows), None, max_dup_frac=1.0, semantic=sem
+    )
+    counts = {r.stage: r.n_docs for r in funnel.collect()}
+    assert counts["passage_dedup"] == 6 and counts["semantic"] == 5
+    ids = sorted(r.doc_id for r in survivors.collect())
+    assert len(ids) == 5 and ids[1:] == [20, 21, 22, 23] and ids[0] in (10, 11)
+    # standalone run on the pre-semantic survivor set agrees
+    pre = _docs(spark, rows)
+    marks = semantic_text_dedup(pre, id_col="doc_id", text_col="text", **sem)
+    assert marks.where(F.col("kept")).count() == 5
+
+
+def test_curation_funnel_semantic_after_near_dup_indexes(spark):
+    from mashing_pumpkins_spark.config import PipelineConfig, SketchConfig
+    from mashing_pumpkins_spark.operators.curation import curation_funnel
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(40)), "s") for i in range(4)]
+    cfg = PipelineConfig(
+        sketch=SketchConfig(nsize=21, maxsize=1 << 30, hash_name="xxh64", seed=0),
+        n_bands=32,
+        rows_per_band=8,
+        jaccard_threshold=0.8,
+    )
+    funnel, survivors = curation_funnel(
+        _docs(spark, rows),
+        None,
+        max_dup_frac=1.0,
+        near_dup=cfg,
+        semantic={"n_clusters": 1, "n_iters": 1, "dim": 16},
+    )
+    got = [(r.stage_idx, r.stage) for r in funnel.orderBy("stage_idx").collect()]
+    assert got[-2:] == [(len(got) - 2, "near_dup"), (len(got) - 1, "semantic")]
+    assert survivors.count() == 4  # nothing similar: both stages no-ops
+
+
 def test_corpus_ops_tolerate_null_text(spark):
     """Real corpora contain null text; no op may crash, and null docs fall
     out of gram/passage stages the same way empty docs do."""

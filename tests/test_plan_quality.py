@@ -216,3 +216,35 @@ def test_robots_lookup_winner_is_aggregate_not_window(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "Aggregate" in plan
+
+
+def test_hashed_embedding_is_single_stage_jvm_projection(spark):
+    """The signed hashed-TF embedder must fold into the scan: no
+    Exchange, no Python worker, no Generate (an explode+groupBy
+    formulation would shuffle token-level rows — ~10x the doc bytes at
+    crawl scale), and the scan must prune to (id, text)."""
+    from mashing_pumpkins_spark.functions.embed import hashed_doc_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x", 5)], "doc_id long, text string, extra string, n long"
+    )
+    out = docs.select(
+        "doc_id", hashed_doc_embedding(F.col("text"), dim=32).alias("e")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Generate" not in plan
+
+
+def test_cdx_dedup_index_winner_is_aggregate_not_window(spark):
+    """dedup_index collapses captures with two map-side-combinable
+    aggregates and a keyed join — no Window over raw captures (a hot
+    URL recrawled millions of times would single-task its sort)."""
+    from mashing_pumpkins_spark.sources.cdx import dedup_index
+
+    cdx = spark.createDataFrame(
+        [("s", "20260101000000", "d")], "surt string, ts_raw string, digest string"
+    )
+    plan = dedup_index(cdx)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
