@@ -256,12 +256,14 @@ def semantic_text_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     assign_backend: str = "auto",
+    embed_backend: str = "auto",
 ) -> DataFrame:
     """SemDedup straight off a TEXT column — no external encoder: the
     documents are embedded by the deterministic signed hashed-TF
-    projection (functions/embed.hashed_doc_embedding, one scan of pure
-    Column algebra) and the standard fixed-point semdedup() pass runs
-    on the result.  Returns (id, cluster_id, dist2, kept).
+    projection (functions/embed.embed_documents — Column or Arrow
+    backend, identical integers) and the standard fixed-point
+    semdedup() pass runs on the result.  Returns
+    (id, cluster_id, dist2, kept).
 
     The default tau is higher than the embedding-input default
     (0.98 vs 0.95): hashed-TF vectors of near-duplicate documents sit
@@ -270,11 +272,10 @@ def semantic_text_dedup(
     while topically-similar-but-distinct pages land well below; the
     high threshold keeps this a DEDUP pass, not a topic collapse.
     Everything (embedding included) replays exactly in ANSI SQL."""
-    from ..functions.embed import hashed_doc_embedding
+    from ..functions.embed import embed_documents
 
-    emb = docs.select(
-        F.col(id_col),
-        hashed_doc_embedding(F.col(text_col), dim=dim).alias("embedding"),
+    emb = embed_documents(
+        docs, dim=dim, id_col=id_col, text_col=text_col, backend=embed_backend
     )
     return semdedup(
         emb,

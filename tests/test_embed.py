@@ -142,3 +142,64 @@ def test_semantic_text_dedup_string_ids(spark):
     kept = {r["doc_id"]: r["kept"] for r in out}
     assert sorted(kept) == ["u1", "u2"]
     assert sum(kept.values()) == 1  # one survivor of the identical pair
+
+
+def test_arrow_backend_equals_column_backend(spark):
+    """Both embed_documents backends must produce IDENTICAL integers —
+    including Java-\\s whitespace edges (tab-leading text keeps a
+    leading empty token, NBSP stays inside a token, trailing
+    whitespace KEEPS its empty token — Java split limit -1) and
+    unicode case folds."""
+    from mashing_pumpkins_spark.functions.embed import embed_documents
+
+    nasty = TEXTS + [
+        "\tleading tab",          # leading empty token after space-trim
+        "trailing tab\t",         # trailing empty token KEPT (limit -1)
+        "nbsp joined token", # NBSP is NOT Java \s: stays in-token
+        "a b c",
+        "UPPER Lower MiXeD",
+        "\t",                     # one empty token
+        None,                     # null text -> zero vector
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(nasty)], "doc_id long, text string"
+    )
+    for dim in (8, 64):
+        col = {
+            r["doc_id"]: [int(v) for v in r["embedding"]]
+            for r in embed_documents(df, dim=dim, backend="column").collect()
+        }
+        arr = {
+            r["doc_id"]: [int(v) for v in r["embedding"]]
+            for r in embed_documents(df, dim=dim, backend="arrow").collect()
+        }
+        assert col == arr, (dim, {k: (col[k], arr[k]) for k in col if col[k] != arr[k]})
+
+
+def test_embed_documents_backend_validation(spark):
+    from mashing_pumpkins_spark.functions.embed import embed_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embed_documents(df, backend="gpu")
+    with _pytest.raises(ValueError):
+        embed_documents(df, dim=0, backend="arrow")
+
+
+def test_semantic_text_dedup_equal_across_embed_backends(spark):
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{j}" for j in range(300)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(80)]
+    docs += [(i + 500, t) for i, t in docs[:10]]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    outs = []
+    for be in ("column", "arrow"):
+        rows = semantic_text_dedup(
+            df, n_clusters=4, n_iters=1, dim=32, embed_backend=be
+        ).collect()
+        outs.append(sorted((r["doc_id"], r["cluster_id"], r["dist2"], r["kept"]) for r in rows))
+    assert outs[0] == outs[1]
