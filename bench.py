@@ -314,6 +314,13 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "cdx_index",
         "training_shards",
         "training_export_roundtrip",
+        # semantic dedup tier: the embedding-input k-means+prune core,
+        # the text-composed pass (hashed-TF arrow embed + same core),
+        # the embedder alone, and the CDX revisit collapse
+        "semdedup_prune",
+        "semdedup_text_prune",
+        "doc_embedding",
+        "cdx_dedup",
         # crawl_budget is deliberately NOT timed: it re-runs the full
         # pagerank fixed point (timed as pagerank_scores) plus one
         # aggregation already covered by the grouped-agg entries
