@@ -329,10 +329,13 @@ def curation_funnel(
         funnel = funnel.unionAll(extra)
 
     if semantic is not None:
-        from .semdedup import semantic_text_dedup
+        from .semdedup import choose_n_clusters, semantic_text_dedup
 
         sem_kw = dict(semantic)
-        sem_kw.setdefault("n_clusters", 16)
+        if not sem_kw.get("n_clusters"):
+            # workload-derived k (ceil(n/500)): holds avg cluster size —
+            # and so per-doc prune cost — flat as the corpus grows
+            sem_kw["n_clusters"] = choose_n_clusters(survivors.count())
         marks = semantic_text_dedup(
             survivors, id_col=id_col, text_col=text_col, **sem_kw
         )

@@ -246,6 +246,34 @@ def fit_centroids(
     return centroids
 
 
+def choose_n_clusters(
+    n_docs: int,
+    target_cluster_size: int = 500,
+    min_clusters: int = 1,
+    max_clusters: int = 1 << 20,
+) -> int:
+    """Pick k for a corpus of ``n_docs``: k = ceil(n / target_cluster_size),
+    clamped.  The within-cluster pairwise prune is SemDedup's inherent
+    quadratic — its expected cost is n * avg_cluster_size / 2
+    comparisons, so holding avg_cluster_size constant keeps per-doc
+    work FLAT as the corpus grows (the 100x contract); the k-means side
+    scales as n * k dot products per Lloyd iteration, which at
+    target 500 stays well under the prune cost until k ~ dim * 10^4.
+    target_cluster_size ~ 500 matches the committed 1M probes
+    (k=2048 -> avg ~500, prune ~= 2 Lloyd iterations in wall time).
+    Pure arithmetic — same inputs, same choice, on any machine; pair
+    with max_cluster_size ~= 4 * target_cluster_size to salt the skew
+    tail without touching typical clusters."""
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    k = -(-n_docs // target_cluster_size)  # ceil
+    return max(min_clusters, min(max_clusters, k))
+
+
 def semantic_text_dedup(
     docs: DataFrame,
     n_clusters: int,

@@ -106,7 +106,9 @@ def main() -> None:
                          "model-free signed hashed-TF embedding + "
                          "fixed-point k-means + cosine prune "
                          "(operators/semdedup.semantic_text_dedup)")
-    ap.add_argument("--semdedup-clusters", type=int, default=16)
+    ap.add_argument("--semdedup-clusters", type=int, default=0,
+                    help="0 = auto: ceil(n_survivors / 500) "
+                         "(operators/semdedup.choose_n_clusters)")
     ap.add_argument("--semdedup-tau-ppm", type=int, default=980_000)
     ap.add_argument("--semdedup-iters", type=int, default=2)
     ap.add_argument("--semdedup-dim", type=int, default=64)

@@ -190,3 +190,20 @@ def test_semdedup_validation(spark):
         semdedup(df, n_clusters=2, tau_ppm=1_000_001)
     with pytest.raises(ValueError):
         semdedup(df, n_clusters=2, max_cluster_size=0)
+
+
+def test_choose_n_clusters_pins_and_clamps():
+    from mashing_pumpkins_spark.operators.semdedup import choose_n_clusters
+
+    assert choose_n_clusters(1_000_000) == 2000
+    assert choose_n_clusters(1_099_828) == 2200
+    assert choose_n_clusters(0) == 1
+    assert choose_n_clusters(499) == 1
+    assert choose_n_clusters(501) == 2
+    assert choose_n_clusters(10**12, max_clusters=1 << 20) == 1 << 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        choose_n_clusters(-1)
+    with _pytest.raises(ValueError):
+        choose_n_clusters(10, target_cluster_size=0)
