@@ -1173,6 +1173,38 @@ def q_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich merge learning) —
+    word-count-table design: ONE corpus pass builds the distinct-pretoken
+    table, then every merge iteration runs on that (vocabulary-sized)
+    table as pure Column algebra with a one-row argmax broadcast per step
+    (operators/bpe.py).  The oracle unrolls the same 8 merges as
+    delimited-string replace CTEs — SQL replace's leftmost non-overlapping
+    scan is exactly the trainer's greedy fold (proven against an
+    independent Sennrich reference in tests/test_bpe.py), so merge order,
+    pair counts AND the (count, left, right) tie-break all gate."""
+    from mashing_pumpkins_spark.operators.bpe import fit_bpe, merges_df
+
+    docs = _docs(spark, sf_dir)
+    model = fit_bpe(docs, n_merges=8)
+    model.words.unpersist()
+    return merges_df(spark, model).orderBy("step")
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side of the trained tokenizer: per-doc token counts via a
+    broadcast join of corpus pretokens against the final word table
+    (word -> size(syms)) — merges are never re-applied to the corpus.
+    The oracle re-derives the final word table through the same 8
+    unrolled merge CTEs and replays the join, so a drift in ANY merge
+    step changes downstream token counts and fails the gate."""
+    from mashing_pumpkins_spark.operators.bpe import fit_bpe, token_counts
+
+    docs = _docs(spark, sf_dir)
+    model = fit_bpe(docs, n_merges=8)
+    return token_counts(docs, model).orderBy("doc_id")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing: per source, docs
     laid out in id order and cut into 1000-token packs (a doc belongs
@@ -2318,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize_stats": q_unicode_normalize_stats,
         "url_filter": q_url_filter,
         "bpe_pretoken_stats": q_bpe_pretoken_stats,
+        "bpe_train": q_bpe_train,
+        "bpe_token_count": q_bpe_token_count,
         "sequence_packing": q_sequence_packing,
         "robots_rules": q_robots_rules,
         "robots_frontier": q_robots_frontier,
@@ -2448,6 +2482,86 @@ _LANG_MARKERS_SQL = {
     "es": "['el','la','los','las','es','y','que','para','una']",
     "fr": "['le','la','les','et','est','pas','pour','que','une']",
 }
+
+
+def _bpe_merge_ctes(n_merges: int) -> str:
+    """Unrolled BPE-merge CTE chain for the bpe_train / bpe_token_count
+    oracles.  Words are carried as '|'-delimited symbol strings
+    ("|a||b||c|"); applying merge (l, r) is replace('|l||r|' -> '|lr|'),
+    whose leftmost non-overlapping scan is exactly the trainer's greedy
+    fold (tests/test_bpe.py pins both against an independent reference).
+    Winner selection = ORDER BY c DESC, l DESC, r DESC LIMIT 1 — the
+    same (count, left, right) max-struct tie-break the Spark side uses."""
+    parts = [
+        r"""w0 as (
+              select word, regexp_replace(word, '(.)', '|\1|', 'g') as repr, cnt
+              from (
+                select word, count(*)::bigint as cnt
+                from (select unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                        as word
+                      from documents)
+                group by word
+              )
+            )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""s{i} as (
+              select string_split(trim(repr, '|'), '||') as s, cnt from w{i - 1}
+            ),
+            p{i} as (
+              select t.s[j] as l, t.s[j + 1] as r, sum(t.cnt)::bigint as c
+              from s{i} t, unnest(generate_series(1, len(t.s) - 1)) as u(j)
+              group by 1, 2
+            ),
+            m{i} as (
+              select {i} as step, l, r, c from p{i}
+              order by c desc, l desc, r desc limit 1
+            ),
+            w{i} as (
+              select word,
+                     replace(repr, '|' || l || '||' || r || '|',
+                             '|' || l || r || '|') as repr,
+                     cnt
+              from w{i - 1}, m{i}
+            )"""
+        )
+    return ",\n            ".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    steps = "\n            union all ".join(
+        f"select step, l, r, c from m{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+            with {_bpe_merge_ctes(n_merges)}
+            select step::int as step, l as left_sym, r as right_sym,
+                   c::bigint as pair_count
+            from ({steps})
+            order by step
+        """
+
+
+def _bpe_token_count_oracle(n_merges: int) -> str:
+    return f"""
+            with {_bpe_merge_ctes(n_merges)},
+            vocab as (
+              select word,
+                     len(string_split(trim(repr, '|'), '||'))::bigint
+                       as n_tokens
+              from w{n_merges}
+            ),
+            pretokens as (
+              select doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
+              from documents
+            )
+            select p.doc_id, count(*)::bigint as n_words,
+                   sum(coalesce(v.n_tokens, length(p.word)))::bigint as n_tokens
+            from pretokens p left join vocab v using (word)
+            group by p.doc_id
+            order by p.doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3282,6 +3396,8 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(segs, chr(31))) as seg_md5
             from seg order by doc_id
         """,
+        "bpe_train": _bpe_train_oracle(8),
+        "bpe_token_count": _bpe_token_count_oracle(8),
         # concat-then-chunk packing: window cumsum replayed verbatim
         "sequence_packing": r"""
             with toks as (

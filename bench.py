@@ -307,6 +307,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "unicode_normalize_stats",
         "url_filter",
         "bpe_pretoken_stats",
+        # tokenizer training: ONE corpus pass + 8 word-table merge
+        # iterations (bpe_train), then the broadcast-join encode pass
+        "bpe_train",
+        "bpe_token_count",
         "sequence_packing",
         "robots_rules",
         "robots_frontier",
