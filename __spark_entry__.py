@@ -1205,6 +1205,44 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(docs, model).orderBy("doc_id")
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (operators/cms.py): a
+    4x1024 counter table whose size is fixed REGARDLESS of corpus scale
+    (map-side combined before one bounded shuffle), point-queried for
+    every vocabulary token against exact counts.  The md5 row-salted
+    buckets are deterministic, so the oracle replays the ENTIRE sketch —
+    counters, min-of-rows estimates, and the no-underestimate invariant —
+    in SQL."""
+    from mashing_pumpkins_spark.operators.cms import (
+        cms_estimate,
+        token_counter_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    depth, width = 4, 1024
+    counters = token_counter_table(docs, depth=depth, width=width)
+    exact = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    est = cms_estimate(counters, exact.select("token"), depth=depth, width=width)
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("no_underestimate"),
+        )
+        .orderBy("token")
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing: per source, docs
     laid out in id order and cut into 1000-token packs (a doc belongs
@@ -2352,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pretoken_stats": q_bpe_pretoken_stats,
         "bpe_train": q_bpe_train,
         "bpe_token_count": q_bpe_token_count,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         "sequence_packing": q_sequence_packing,
         "robots_rules": q_robots_rules,
         "robots_frontier": q_robots_frontier,
@@ -3398,6 +3437,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_oracle(8),
         "bpe_token_count": _bpe_token_count_oracle(8),
+        # the whole sketch replays in SQL: same salted-md5 buckets,
+        # same min-of-rows estimate
+        "heavy_hitters_cms": r"""
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z]+')) as t
+              from documents
+            ),
+            exact as (
+              select t, count(*)::bigint as exact_count from toks group by t
+            ),
+            counters as (
+              select u.i as row_i,
+                     (('0x' || substr(md5(t || chr(31) || u.i::varchar), 1, 8))::bigint
+                        % 1024) as bucket,
+                     count(*)::bigint as cnt
+              from toks, unnest([0, 1, 2, 3]) as u(i)
+              group by 1, 2
+            ),
+            probes as (
+              select e.t, u.i as row_i,
+                     (('0x' || substr(md5(e.t || chr(31) || u.i::varchar), 1, 8))::bigint
+                        % 1024) as bucket
+              from exact e, unnest([0, 1, 2, 3]) as u(i)
+            ),
+            est as (
+              select p.t, min(coalesce(c.cnt, 0))::bigint as est_count
+              from probes p
+              left join counters c using (row_i, bucket)
+              group by p.t
+            )
+            select e.t as token, e.exact_count, est.est_count,
+                   est.est_count >= e.exact_count as no_underestimate
+            from exact e join est using (t)
+            order by token
+        """,
         # concat-then-chunk packing: window cumsum replayed verbatim
         "sequence_packing": r"""
             with toks as (

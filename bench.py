@@ -311,6 +311,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         # iterations (bpe_train), then the broadcast-join encode pass
         "bpe_train",
         "bpe_token_count",
+        # fixed-memory frequency sketch: counter table bounded at 4x1024
+        "heavy_hitters_cms",
         "sequence_packing",
         "robots_rules",
         "robots_frontier",

@@ -140,6 +140,21 @@ def main() -> None:
         id_col="url",
     )
 
+    from mashing_pumpkins_spark.operators.bpe import (
+        _pair_counts,
+        apply_merge,
+        fit_bpe,
+        pretoken_words,
+        token_counts,
+    )
+
+    bpe_words = pretoken_words(pages).withColumn("syms", F.split("word", ""))
+    bpe_pairs = _pair_counts(
+        bpe_words.withColumn("syms", apply_merge(F.col("syms"), "t", "h"))
+    )
+    bpe_model = fit_bpe(pages, n_merges=2)
+    bpe_enc = token_counts(pages, bpe_model, id_cols=("url",))
+
     sections = [
         (
             "sketch stage (mapInArrow)",
@@ -265,6 +280,27 @@ def main() -> None:
             "arithmetic inside the projection; selection is "
             "TakeOrderedAndProject — only k rows leave each partition, "
             "never a global sort materialization.",
+        ),
+        (
+            "BPE trainer iteration (round-7: pair counts after one applied merge)",
+            bpe_pairs,
+            "Check: the whole iteration is JVM Column algebra — the greedy "
+            "merge fold (F.aggregate) and the zip_with pair explode sit "
+            "inside the projection with NO Python eval node; the only "
+            "Exchange is the pair-count groupBy over the vocabulary-sized "
+            "word table (the corpus appears solely under the initial "
+            "word-count aggregate, which partial-aggregates before its "
+            "Exchange); the per-step winner is a one-row max(struct) "
+            "aggregate, never a sort.",
+        ),
+        (
+            "BPE encode (token_counts broadcast join)",
+            bpe_enc,
+            "Check: the trained word table enters through a "
+            "BroadcastHashJoin (vocabulary-sized side), so encoding never "
+            "re-applies merges to the corpus; the per-doc aggregate is the "
+            "single corpus shuffle with partial aggregation before the "
+            "Exchange.",
         ),
         (
             "link extraction + degree stats (raw html, scan speed)",

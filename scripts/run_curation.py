@@ -19,6 +19,9 @@ pins which funnel produced the table) as parquet/JSON, and prints the
 funnel as JSON lines. --export-shards N additionally materializes the
 kept corpus as N deterministic jsonl.gz training shards (+ shard
 manifest) under <output>/shards — the ready-to-train form.
+--train-tokenizer N learns N BPE merges on the kept corpus
+(operators/bpe.py; one extra corpus pass, then vocabulary-sized merge
+iterations) and writes <output>/tokenizer/{merges,vocab} parquet.
 
 Gate stages (round-6): --blocked-hosts/--blocked-path-terms enable the
 UT1-style url_filter stage, --robots (a parquet of host,body robots.txt
@@ -115,6 +118,13 @@ def main() -> None:
     ap.add_argument("--semdedup-max-cluster-size", type=int, default=None,
                     help="salt clusters above this size into md5 "
                          "subclusters before the pairwise prune")
+    ap.add_argument("--train-tokenizer", type=int, default=None,
+                    help="train N BPE merges on the KEPT corpus and write "
+                         "<output>/tokenizer/{merges,vocab}.parquet — one "
+                         "extra corpus pass; merges learned with "
+                         "operators/bpe.py's word-count-table trainer")
+    ap.add_argument("--tokenizer-min-count", type=int, default=2,
+                    help="stop merging below this pair frequency")
     args = ap.parse_args()
     if args.export_shards and not args.url_col:
         ap.error("--export-shards needs --url-col")
@@ -206,6 +216,30 @@ def main() -> None:
             seed=args.export_seed,
             url_col=args.url_col,
             text_col=args.text_col,
+        )
+    if args.train_tokenizer:
+        from pyspark.sql import functions as F
+
+        from mashing_pumpkins_spark.operators.bpe import fit_bpe, merges_df
+
+        model = fit_bpe(
+            spark.read.parquet(f"{out}/survivors"),
+            text_col=args.text_col,
+            n_merges=args.train_tokenizer,
+            min_count=args.tokenizer_min_count,
+        )
+        merges_df(spark, model).coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/tokenizer/merges"
+        )
+        model.words.select(
+            "word", F.size("syms").cast("int").alias("n_tokens"), "cnt"
+        ).write.mode("overwrite").parquet(f"{out}/tokenizer/vocab")
+        model.words.unpersist()
+        print(
+            json.dumps(
+                {"tokenizer_merges": len(model.merges),
+                 "tokenizer_min_count": args.tokenizer_min_count}
+            )
         )
     for row in spark.read.parquet(f"{out}/funnel").orderBy("stage_idx").collect():
         print(json.dumps(row.asDict(), default=str))
