@@ -981,6 +981,15 @@ def run_scaling() -> dict:
         "local[16]. The same >=3-micro-batch parity shape is pinned in "
         "the suite (tests/test_operators_extra.py::"
         "test_streaming_admission_multibatch_parity).\n"
+        # Static narrative sections (1M probes, production runs, etc.)
+        # live in BENCH/BASELINE_sections.md so a --scaling rerun can
+        # never wipe manually recorded evidence: append new sections
+        # THERE, not to the generated BASELINE.md.
+        + (
+            "\n" + (bench_dir / "BASELINE_sections.md").read_text()
+            if (bench_dir / "BASELINE_sections.md").exists()
+            else ""
+        )
     )
     out["sketch_mb_per_sec"] = sketch_mb
     out["kernel_mb_per_sec_single_core"] = kernel_mb
