@@ -1243,6 +1243,51 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of the corpus's word 4-grams
+    (operators/hll.py): 64 registers regardless of cardinality, built by
+    ONE map-side-combined groupBy — never a distinct shuffle of the keys.
+    The scaled estimate is all-integer (alpha_e6 * m^2 * 2^33 floor-
+    divided by the exact harmonic-sum bigint), so the oracle replays
+    registers AND the estimate exactly; exact count + a 40%% accuracy
+    boolean ride along (observed error ~2-10%% across sf)."""
+    from mashing_pumpkins_spark.operators.hll import (
+        alpha_e6,
+        hll_estimate,
+        hll_registers,
+    )
+
+    m = 64
+    num = alpha_e6(m) * m * m * (2**33) // 1000  # exact: alpha_e6 % 1000 == 0
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    grams = df_grams = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 4,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 3),
+                    lambda i: F.array_join(F.slice(words, i, 4), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    exact = grams.agg(F.countDistinct("gram").cast("bigint").alias("n_exact"))
+    est = hll_estimate(hll_registers(grams, "gram", m=m), m=m)
+    est_milli = F.expr(f"{num}L div s_sum")
+    return est.crossJoin(exact).select(
+        "m",
+        "n_exact",
+        "s_sum",
+        "n_present",
+        est_milli.cast("bigint").alias("est_milli"),
+        (
+            F.abs(est_milli - F.lit(1000) * F.col("n_exact")) * 10
+            <= F.lit(4000) * F.col("n_exact")
+        ).alias("rel_err_ok"),
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing: per source, docs
     laid out in id order and cut into 1000-token packs (a doc belongs
@@ -2391,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_token_count": q_bpe_token_count,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "hll_distinct": q_hll_distinct,
         "sequence_packing": q_sequence_packing,
         "robots_rules": q_robots_rules,
         "robots_frontier": q_robots_frontier,
@@ -3471,6 +3517,51 @@ def oracle_sql() -> dict[str, str]:
                    est.est_count >= e.exact_count as no_underestimate
             from exact e join est using (t)
             order by token
+        """,
+        # full HLL replay: same split-md5 registers, same all-integer
+        # scaled estimate (24945719810981888 = alpha_e6(64)*64^2*2^33/1000)
+        "hll_distinct": r"""
+            with w as (
+              select regexp_extract_all(lower(text), '[a-z]+') as ws
+              from documents
+            ),
+            g as (
+              select array_to_string(ws[i:i + 3], ' ') as gram
+              from w, unnest(generate_series(1, greatest(len(ws) - 3, 0)))
+                     as u(i)
+            ),
+            exact as (
+              select count(distinct gram)::bigint as n_exact from g
+            ),
+            r as (
+              select ('0x' || substr(md5(gram), 1, 8))::bigint % 64 as bucket,
+                     max(case
+                           when ('0x' || substr(md5(gram), 9, 8))::bigint = 0
+                             then 33
+                           else 33 - length(bin(
+                             ('0x' || substr(md5(gram), 9, 8))::bigint))
+                         end) as m_j
+              from g group by 1
+            ),
+            s as (
+              select coalesce(sum(cast(pow(2, 33 - m_j) as bigint)), 0)::bigint
+                       as s_present,
+                     count(*)::bigint as n_present
+              from r
+            ),
+            e as (
+              select 64 as m,
+                     (s_present + (64 - n_present) * 8589934592)::bigint
+                       as s_sum,
+                     n_present
+              from s
+            )
+            select e.m, exact.n_exact, e.s_sum, e.n_present,
+                   (24945719810981888 // e.s_sum)::bigint as est_milli,
+                   abs((24945719810981888 // e.s_sum)
+                       - 1000 * exact.n_exact) * 10
+                     <= 4000 * exact.n_exact as rel_err_ok
+            from e, exact
         """,
         # concat-then-chunk packing: window cumsum replayed verbatim
         "sequence_packing": r"""

@@ -313,6 +313,8 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "bpe_token_count",
         # fixed-memory frequency sketch: counter table bounded at 4x1024
         "heavy_hitters_cms",
+        # fixed-memory cardinality sketch: 64 registers, no distinct shuffle
+        "hll_distinct",
         "sequence_packing",
         "robots_rules",
         "robots_frontier",
