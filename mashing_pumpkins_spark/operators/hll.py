@@ -62,7 +62,13 @@ def hll_registers(
 ) -> DataFrame:
     """Sketch the distinct values of ``df[key_col]`` into at most ``m``
     register rows ``(bucket, m_j)`` — map-side combined, never a distinct
-    shuffle of the keys."""
+    shuffle of the keys.
+
+    Streaming: pass a ``readStream`` DataFrame and this is a NATIVE
+    Structured-Streaming aggregation (groupBy + max needs no custom
+    state) — with ``outputMode("complete"/"update")`` the registers
+    converge to exactly the batch sketch of everything seen, regardless
+    of micro-batch boundaries (parity-pinned in tests/test_hll.py)."""
     alpha_e6(m)  # validates m
     digest = F.md5(F.col(key_col).cast("string"))
     h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")

@@ -116,3 +116,45 @@ def test_plan_is_pure_column_algebra(spark):
         plan = d._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_streaming_registers_equal_batch(spark, tmp_path):
+    """3 micro-batches through the NATIVE streaming groupBy-max: final
+    registers equal the batch sketch of the union — micro-batch
+    boundaries cannot change an HLL."""
+    import pandas as pd
+
+    rng = random.Random(11)
+    batches = [
+        [f"s{rng.randrange(10**8)}" for _ in range(700)] for _ in range(3)
+    ]
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        pd.DataFrame({"key": b}).to_parquet(src / f"b{i}.parquet")
+
+    stream = spark.readStream.schema("key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        hll_registers(stream, m=64)
+        .writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2, "expected >=3 micro-batches"
+    got = sorted(
+        map(tuple, spark.sql("select bucket, m_j from hll_stream_test").collect())
+    )
+    whole = sorted(
+        map(
+            tuple,
+            hll_registers(
+                _keys_df(spark, [k for b in batches for k in b]), m=64
+            ).collect(),
+        )
+    )
+    assert got == whole
