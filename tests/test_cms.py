@@ -133,3 +133,49 @@ def test_plan_is_pure_column_algebra(spark):
         assert "BatchEvalPython" not in plan
     # the counter side of the estimate join must broadcast
     assert "BroadcastHashJoin" in est._jdf.queryExecution().executedPlan().toString()
+
+
+def test_streaming_counters_equal_batch(spark, tmp_path):
+    """3 micro-batches through the NATIVE streaming groupBy-sum: final
+    counters equal the batch sketch of the union — CMS is a pure
+    additive aggregation, so micro-batch boundaries cannot change it."""
+    import pandas as pd
+
+    texts = _rand_corpus(12, 90)
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    for i in range(3):
+        pd.DataFrame({"text": texts[i * 30 : (i + 1) * 30]}).to_parquet(
+            src / f"b{i}.parquet"
+        )
+
+    stream = spark.readStream.schema("text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        token_counter_table(stream, depth=3, width=64)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2, "expected >=3 micro-batches"
+    got = sorted(
+        map(
+            tuple,
+            spark.sql("select row_i, bucket, cnt from cms_stream_test").collect(),
+        )
+    )
+    whole = sorted(
+        map(
+            tuple,
+            token_counter_table(
+                spark.createDataFrame([(t,) for t in texts], "text string"),
+                depth=3,
+                width=64,
+            ).collect(),
+        )
+    )
+    assert got == whole
