@@ -155,6 +155,23 @@ def main() -> None:
     bpe_model = fit_bpe(pages, n_merges=2)
     bpe_enc = token_counts(pages, bpe_model, id_cols=("url",))
 
+    from mashing_pumpkins_spark.operators.cms import (
+        cms_estimate,
+        token_counter_table,
+    )
+    from mashing_pumpkins_spark.operators.hll import hll_registers
+
+    cms_counters = token_counter_table(pages, depth=4, width=1024)
+    cms_est = cms_estimate(
+        cms_counters,
+        pages.select(F.lit("the").alias("token")).limit(1),
+        depth=4,
+        width=1024,
+    )
+    hll_regs = hll_registers(
+        pages.select(F.col("text").alias("key")), m=64
+    )
+
     sections = [
         (
             "sketch stage (mapInArrow)",
@@ -301,6 +318,24 @@ def main() -> None:
             "re-applies merges to the corpus; the per-doc aggregate is the "
             "single corpus shuffle with partial aggregation before the "
             "Exchange.",
+        ),
+        (
+            "CMS point query (round-7: bounded counter table + broadcast probe)",
+            cms_est,
+            "Check: the corpus-side counter build partial-aggregates to at "
+            "most depth*width rows per task before its single Exchange "
+            "(state is fixed no matter the corpus); the probe side joins "
+            "the counters through a BroadcastHashJoin (the sketch is tiny "
+            "by construction); min-of-rows is one HashAggregate; no Python "
+            "anywhere.",
+        ),
+        (
+            "HLL registers (round-7: distinct count without a distinct shuffle)",
+            hll_regs,
+            "Check: ONE groupBy(bucket).max(rho) with partial aggregation "
+            "before the Exchange — at most m rows leave each task, the "
+            "keys themselves never shuffle; bucket and rank are pure md5/"
+            "bin() Column arithmetic inside the scan projection.",
         ),
         (
             "link extraction + degree stats (raw html, scan speed)",
