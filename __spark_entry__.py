@@ -1249,8 +1249,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-side-combined groupBy — never a distinct shuffle of the keys.
     The scaled estimate is all-integer (alpha_e6 * m^2 * 2^33 floor-
     divided by the exact harmonic-sum bigint), so the oracle replays
-    registers AND the estimate exactly; exact count + a 40%% accuracy
-    boolean ride along (observed error ~2-10%% across sf)."""
+    registers AND the estimate exactly; exact count + a 40% accuracy
+    boolean ride along (observed error 0.4-12% across sf)."""
     from mashing_pumpkins_spark.operators.hll import (
         alpha_e6,
         hll_estimate,
@@ -1261,7 +1261,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = alpha_e6(m) * m * m * (2**33) // 1000  # exact: alpha_e6 % 1000 == 0
     docs = _docs(spark, sf_dir)
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
-    grams = df_grams = docs.select(
+    grams = docs.select(
         F.explode(
             F.when(
                 F.size(words) >= 4,
