@@ -288,21 +288,44 @@ def q_similarity_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = with_signature(
         _docs(spark, sf_dir).select("doc_id", "text"), cfg
     ).select("doc_id", "sig")
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
-        a.crossJoin(b)
+    # round-8 plan change, value-identical output: every estimator here is a
+    # function of (|A∩B|, |A|, |B|) alone, and any pair at jaccard >= 0.8
+    # shares hashes, so the n^2/2 crossJoin + per-pair array_intersect is
+    # replaced by an equi-join on exploded (id, hash) rows — |A∩B| is the
+    # matched-hash count, |A|/|B| are the signature sizes. Same integers,
+    # same double division and round() as jaccard_similarity /
+    # jaccard_containment / dice_similarity (functions/estimators.py); the
+    # full SQL value oracle pins the equality.
+    _ = (jaccard_similarity, jaccard_containment, dice_similarity)  # semantics source
+    ex = sigs.select("doc_id", F.explode("sig").alias("_h"))
+    sizes = sigs.select("doc_id", F.size("sig").alias("_sz"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "_h")
+    b = ex.select(F.col("doc_id").alias("id_b"), "_h")
+    inter = (
+        a.join(b, "_h")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jaccard_similarity(F.col("sig_a"), F.col("sig_b")), 6))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    i_d = F.col("_i").cast("double")
+    union_d = (F.col("_sza") + F.col("_szb") - F.col("_i")).cast("double")
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("jaccard", F.round(i_d / union_d, 6))
         .where(F.col("jaccard") >= 0.8)
         .select(
             "id_a",
             "id_b",
             "jaccard",
-            F.round(jaccard_containment(F.col("sig_a"), F.col("sig_b")), 6).alias(
-                "containment"
-            ),
-            F.round(dice_similarity(F.col("sig_a"), F.col("sig_b")), 6).alias("dice"),
+            F.round(i_d / F.col("_sza").cast("double"), 6).alias("containment"),
+            F.round(
+                (F.col("_i") * 2).cast("double")
+                / (F.col("_sza") + F.col("_szb")).cast("double"),
+                6,
+            ).alias("dice"),
         )
         .orderBy("id_a", "id_b")
     )

@@ -168,6 +168,19 @@ def signatures_from_buffer(
     offsets = np.zeros(n + 1, dtype=np.int32)
     if buf.shape[0] < nsize or int(nvis.sum()) == 0:
         return np.empty(0, dtype=np.int64), offsets, nvis
+    if cfg.canonical == "none":
+        # fused C fast path: per-doc sliding hash + distinct bottom/top-k in
+        # one native call (bit-identical to the numpy loop below; golden
+        # vectors and the batch-vs-per-doc property suite pin both paths)
+        from ..hashkernels import _hash_cext
+
+        fused = _hash_cext.sketch_from_buffer_c(
+            buf, starts, lens, nsize, cfg.seed, cfg.maxsize, cfg.minmax,
+            cfg.hash_name,
+        )
+        if fused is not None:
+            flat, off64 = fused
+            return flat, off64.astype(np.int32), nvis
     allh = _all_hashes(buf, cfg)
     parts: list[np.ndarray] = []
     sizes = np.zeros(n, dtype=np.int64)

@@ -51,6 +51,11 @@ def mmh3_x64_128_low64_sliding(
         raise ValueError("window width cannot exceed input length")
     if width <= 0:
         raise ValueError("window width must be positive")
+    from . import _hash_cext
+
+    out = _hash_cext.mmh3_low64_sliding_c(buf, width, seed)
+    if out is not None:
+        return out
     m = n - width + 1
     u64t = _le_u64_table(buf)
     seed_u = np.uint64(seed & 0xFFFFFFFF)  # reference wrapper takes uint32 seed

@@ -72,6 +72,11 @@ def xxh64_sliding(buf: np.ndarray | bytes, width: int, seed: int = 0) -> np.ndar
         raise ValueError("window width cannot exceed input length")
     if width <= 0:
         raise ValueError("window width must be positive")
+    from . import _hash_cext
+
+    out = _hash_cext.xxh64_sliding_c(buf, width, seed)
+    if out is not None:
+        return out
     m = n - width + 1
     u64t = _le_u64_table(buf)
     u32t = _le_u32_table(buf)

@@ -59,9 +59,17 @@ def shingle_jaccard_pairs(
     the true shingle-set Jaccard (SQL-oracle-able); exact=False is the
     k=maxsize production estimate.
 
-    All-pairs via the signature join is O(n^2) — this operator is the tiny-
-    scale/verification form; the scale path is the banded pipeline
-    (plans/pipeline.py). Kept quadratic deliberately: it is the oracle.
+    This is the tiny-scale/verification form; the scale path is the banded
+    pipeline (plans/pipeline.py). Physical shape (round-8): any pair with
+    Jaccard >= threshold > 0 shares at least one hash, so the all-pairs
+    crossJoin + per-pair array_intersect is replaced by an equi-join on
+    exploded (id, hash) rows and a pair count — |A∩B| from the group count,
+    |A∪B| = |A| + |B| - |A∩B| from the signature sizes. Same integers, same
+    double division, same round(): the output is value-identical to the
+    crossJoin form (the oracle pins it); only the plan changed — the old
+    form computed n^2/2 array intersections to keep a handful of pairs.
+    A threshold <= 0 (keep disjoint pairs too) falls back to the quadratic
+    crossJoin, which is the only plan that can emit them.
     """
     cfg = SketchConfig(
         nsize=nsize,
@@ -72,17 +80,43 @@ def shingle_jaccard_pairs(
     sigs = with_signature(docs.select(id_col, text_col), cfg, text_col).select(
         F.col(id_col), F.col("sig")
     )
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
-        a.crossJoin(b)
+    if threshold <= 0:
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(jaccard_similarity(F.col("sig_a"), F.col("sig_b")), 6).alias(
+                    "jaccard"
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    ex = sigs.select(F.col(id_col), F.explode("sig").alias("_h"))
+    sizes = sigs.select(F.col(id_col), F.size("sig").alias("_sz"))
+    a = ex.select(F.col(id_col).alias("id_a"), "_h")
+    b = ex.select(F.col(id_col).alias("id_b"), "_h")
+    inter = (
+        a.join(b, "_h")
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    union = F.col("_sza") + F.col("_szb") - F.col("_i")
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard_similarity(F.col("sig_a"), F.col("sig_b")), 6).alias(
-                "jaccard"
-            ),
+            F.round(
+                F.col("_i").cast("double") / union.cast("double"), 6
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -115,15 +149,23 @@ def word_ngram_jaccard_pairs(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
-    ).distinct()
-    # stop-gram cap: drop n-grams appearing in >1000 docs (boilerplate)
-    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
-    grams = grams.join(df_counts.where(F.col("df") <= 1000), "g").select("id", "g")
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-    a = grams.select(F.col("id").alias("id_a"), "g")
-    b = grams.select(F.col("id").alias("id_b"), "g")
+    )
+    # round-8 plan change, value-identical output: ONE groupBy(g) with
+    # collect_set(id) replaces the old distinct + df-count groupBy + join
+    # chain (three shuffles of the full gram table became one) — the set
+    # size IS the post-distinct document frequency, so the <=1000 stop-gram
+    # cap and the per-doc gram counts below see exactly the same rows.
+    by_g = grams.groupBy("g").agg(F.collect_set("id").alias("ids"))
+    by_g = by_g.where(F.size("ids") <= 1000).select("g", "ids")
+    capped = by_g.select(F.explode("ids").alias("id"))
+    sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
+    # pairs: explode each gram's doc-id set twice (the same id_a < id_b
+    # pair set the old self-join on g produced, without re-shuffling the
+    # gram table for the join's two sides)
     inter = (
-        a.join(b, "g")
+        by_g.where(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))

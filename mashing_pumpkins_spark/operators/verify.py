@@ -73,6 +73,52 @@ def _join_sigs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     return pairs.join(sig_a, "url_a").join(sig_b, "url_b")
 
 
+def _broadcast_prefilter(
+    pairs: DataFrame, prefixes: DataFrame, pre_tau: float
+) -> DataFrame:
+    """Phase-1 prefilter as a broadcast scan: the bottom-K prefix slice of
+    the candidate urls is pulled to the driver and broadcast, and the pair
+    table streams through one mapInPandas — the two sort-merge joins the
+    join-shaped phase 1 pays (pairs x prefix_a, then x prefix_b) disappear.
+    Pure physical change: the survivor predicate is the same float
+    ``inter/union >= pre_tau`` the join path's _jaccard_udf computes, on
+    the same prefix arrays."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spark = pairs.sparkSession
+    urls = pairs.select(
+        F.explode(F.array("url_a", "url_b")).alias("url")
+    ).distinct()
+    slice_pdf = prefixes.join(urls, "url", "semi").toPandas()
+    lookup = {
+        u: np.asarray(s, dtype=np.int64)
+        for u, s in zip(slice_pdf["url"], slice_pdf["sig"])
+    }
+    bc = spark.sparkContext.broadcast(lookup)
+    out_schema = StructType(
+        [StructField("url_a", StringType()), StructField("url_b", StringType())]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = bc.value
+        empty = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            ua = pdf["url_a"]
+            ub = pdf["url_b"]
+            pj = np.zeros(len(pdf), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(ua, ub)):
+                xa = table.get(a, empty)
+                yb = table.get(b, empty)
+                if xa.shape[0] == 0 or yb.shape[0] == 0:
+                    continue
+                inter = np.intersect1d(xa, yb, assume_unique=True).shape[0]
+                pj[i] = inter / (xa.shape[0] + yb.shape[0] - inter)
+            keep = pj >= pre_tau
+            yield pd.DataFrame({"url_a": ua[keep], "url_b": ub[keep]})
+
+    return pairs.select("url_a", "url_b").mapInPandas(score, out_schema)
+
+
 def _broadcast_verify(
     pairs: DataFrame, sigs: DataFrame, tau: float
 ) -> DataFrame:
@@ -179,12 +225,30 @@ def verified_edges(
     sigma = math.sqrt(tau * (1.0 - tau) / prefilter_k)
     pre_tau = max(0.0, tau - 6.0 * sigma)
     prefixes = sigs.select("url", F.slice("sig", 1, prefilter_k).alias("sig"))
-    pre = _join_sigs(pairs.select("url_a", "url_b"), prefixes)
-    survivors = (
-        pre.withColumn("pj", _jaccard_udf("sig_a", "sig_b"))
-        .where(F.col("pj") >= pre_tau)
-        .select("url_a", "url_b")
-    )
+    # Phase-1 physical dispatch (round 8): the PREFIX slice is prefilter_k/
+    # maxsize the size of the full-signature slice, so it often fits the
+    # broadcast cap when the full slice does not. The n_candidate_urls
+    # manifest bound counts every pair endpoint twice-plus (dup pairs share
+    # urls), so when the bound alone fails the cap, spend ONE cheap count
+    # job on the narrow pair table to get the actual url count — it
+    # routinely unlocks a zero-shuffle phase 1 that replaces two sort-merge
+    # joins of the pair x prefix tables.
+    n_act = n_urls
+    if n_act * prefilter_k * 8 > broadcast_cap_bytes and n_candidate_urls is not None:
+        n_act = (
+            pairs.select(F.explode(F.array("url_a", "url_b")).alias("url"))
+            .distinct()
+            .count()
+        )
+    if n_act * prefilter_k * 8 <= broadcast_cap_bytes:
+        survivors = _broadcast_prefilter(pairs, prefixes, pre_tau)
+    else:
+        pre = _join_sigs(pairs.select("url_a", "url_b"), prefixes)
+        survivors = (
+            pre.withColumn("pj", _jaccard_udf("sig_a", "sig_b"))
+            .where(F.col("pj") >= pre_tau)
+            .select("url_a", "url_b")
+        )
     exact = _join_sigs(survivors, sigs)
     return (
         exact.withColumn("jaccard", F.round(_jaccard_udf("sig_a", "sig_b"), 9))

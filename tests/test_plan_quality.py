@@ -33,11 +33,19 @@ def test_no_cartesian_product(plan_frames, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_band_join_is_equi_join(plan_frames):
+def test_band_pairing_is_single_bucket_shuffle(plan_frames):
     plan = plan_frames["pairs"]._jdf.queryExecution().executedPlan().toString()
-    # within-bucket pairing must be a hash/sort-merge equi-join on band key
+    # round-8 shape: within-bucket pairing is ONE hash aggregation keyed by
+    # (band_id, band_key) followed by in-bucket explodes — the band table
+    # crosses the wire once, where the old window + self-join crossed it
+    # three times. Never a cartesian/BNLJ, and the bucket key must drive
+    # the exchange.
     assert "band_key" in plan
-    assert "Join" in plan
+    assert "Exchange hashpartitioning(band_id" in plan
+    assert "Generate explode" in plan
+    # exactly one exchange of the band table feeds the pairing (the later
+    # distinct aggregation exchanges the much smaller pair table)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_substring_dedup_plan_is_equi_join(spark):
