@@ -1225,7 +1225,12 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     model = fit_bpe(docs, n_merges=8)
-    return token_counts(docs, model).orderBy("doc_id")
+    # materialize the (small) result, then release the trainer's persisted
+    # word table — previously it leaked one cached table per invocation in
+    # a long-lived bench/driver session (round-7 ADVICE item)
+    out = token_counts(docs, model).orderBy("doc_id").localCheckpoint(eager=True)
+    model.words.unpersist()
+    return out
 
 
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,11 +2263,15 @@ def q_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, pos, val) so the oracle compares every component: DuckDB
     recomputes the same bucket/sign sums by group-by and the same posmod
     floor division."""
-    from mashing_pumpkins_spark.functions.embed import hashed_doc_embedding
+    from mashing_pumpkins_spark.functions.embed import embed_documents
 
+    # round-8: the Arrow bulk backend (identical integers to the Column
+    # fold — backend equality is suite-tested and the component-wise SQL
+    # oracle pins every value); the interpreted per-token HOF fold made
+    # this the slowest "pure projection" entry in the bench
     docs = _docs(spark, sf_dir)
-    emb = docs.select(
-        "doc_id", hashed_doc_embedding(F.col("text"), dim=8).alias("e")
+    emb = embed_documents(docs, dim=8, id_col="doc_id", text_col="text").select(
+        "doc_id", F.col("embedding").alias("e")
     )
     return (
         emb.select("doc_id", F.posexplode("e").alias("pos", "v"))

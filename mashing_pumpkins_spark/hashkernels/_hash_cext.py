@@ -180,6 +180,31 @@ void mp_mmh3_low64_sliding(const uint8_t *buf, long n, int width,
         out[i] = mmh3_low64_one(buf + i, (size_t)width, seed);
 }
 
+/* ---- winnowing minimizer selection ----
+
+   Mark position i iff h[i] is the LEFTMOST minimum of at least one
+   window of w consecutive values — exactly
+   unique(argmin(sliding_window_view(h, w), axis=1) + arange(m-w+1)).
+   Monotonic deque (pop strictly-greater from the back, so equal values
+   keep their earlier index in front = leftmost tie rule), O(m) instead
+   of the numpy view's O(m*w). deque must hold w indices. */
+void mp_minimizers(const uint64_t *h, long m, long w, int64_t *deque,
+                   uint8_t *out_flags) {
+    long head = 0, tail = 0; /* deque[head..tail) */
+    long i;
+    for (i = 0; i < m; i++)
+        out_flags[i] = 0;
+    for (i = 0; i < m; i++) {
+        while (tail > head && h[deque[tail - 1]] > h[i])
+            tail--;
+        deque[tail++] = i;
+        if (deque[head] <= i - w)
+            head++;
+        if (i >= w - 1)
+            out_flags[deque[head]] = 1;
+    }
+}
+
 /* ---- fused sketch: per-document sliding hash + distinct bottom/top-k ----
 
    Exactly functions/sketch_np.signatures_from_buffer for canonical="none":
@@ -203,6 +228,35 @@ static void radix_sort_u64(uint64_t *a, uint64_t *tmp, long n) {
         sw = a; a = tmp; tmp = sw;
     }
     /* 8 passes: result lands back in the caller's 'a' */
+}
+
+/* ---- banding: per-document multiply-shift minima ----
+
+   For each document d (values[starts[d] .. starts[d]+lens[d])) and each
+   band component j: out[d*m + j] = min over the document's values v of
+   (v * a[j] + b[j]) mod 2^64. The numpy formulation materializes m
+   full-length product arrays per batch (~m passes of memory traffic);
+   here each document's <= k values stay L1-resident while the m
+   components accumulate in one cache-hot block. */
+void mp_band_minima(const uint64_t *values, const int64_t *starts,
+                    const int64_t *lens, long ndocs, const uint64_t *a,
+                    const uint64_t *b, long m, uint64_t *out) {
+    long d, i, j;
+    for (d = 0; d < ndocs; d++) {
+        const uint64_t *v = values + starts[d];
+        long k = lens[d];
+        uint64_t *o = out + d * m;
+        for (j = 0; j < m; j++)
+            o[j] = (uint64_t)-1;
+        for (i = 0; i < k; i++) {
+            uint64_t vi = v[i];
+            for (j = 0; j < m; j++) {
+                uint64_t y = vi * a[j] + b[j];
+                if (y < o[j])
+                    o[j] = y;
+            }
+        }
+    }
 }
 
 int mp_sketch_from_buffer(const uint8_t *buf, long n,
@@ -331,6 +385,14 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.c_uint64, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         i64p, i64p,
     ]
+    lib.mp_band_minima.restype = None
+    lib.mp_band_minima.argtypes = [
+        u64p, i64p, i64p, ctypes.c_long, u64p, u64p, ctypes.c_long, u64p,
+    ]
+    lib.mp_minimizers.restype = None
+    lib.mp_minimizers.argtypes = [
+        u64p, ctypes.c_long, ctypes.c_long, i64p, u8p,
+    ]
     return lib
 
 
@@ -390,6 +452,64 @@ def mmh3_low64_sliding_c(buf: np.ndarray, width: int, seed: int) -> "np.ndarray 
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out
+
+
+def band_minima_c(
+    values: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> "np.ndarray | None":
+    """Per-document multiply-shift minima: (ndocs, m) uint64 of
+    min(v * a[j] + b[j]) over each document's value slice, or None when
+    the kernel is unavailable. Wrap-around arithmetic identical to the
+    numpy uint64 formulation."""
+    lib = load()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    ndocs = lens.shape[0]
+    m = a.shape[0]
+    out = np.empty((ndocs, m), dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mp_band_minima(
+        values.ctypes.data_as(u64p),
+        starts.ctypes.data_as(i64p),
+        lens.ctypes.data_as(i64p),
+        ctypes.c_long(ndocs),
+        a.ctypes.data_as(u64p),
+        b.ctypes.data_as(u64p),
+        ctypes.c_long(m),
+        out.ctypes.data_as(u64p),
+    )
+    return out
+
+
+def minimizer_positions_c(h: np.ndarray, w: int) -> "np.ndarray | None":
+    """Winnowing minimizer positions of hash array ``h`` at window ``w``
+    (sorted unique leftmost-window-argmin indices), or None when the
+    kernel is unavailable. Identical to the numpy sliding-view argmin."""
+    lib = load()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, dtype=np.uint64)
+    m = h.shape[0]
+    flags = np.empty(m, dtype=np.uint8)
+    deque = np.empty(m + 1, dtype=np.int64)
+    lib.mp_minimizers(
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_long(m),
+        ctypes.c_long(w),
+        deque.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return np.flatnonzero(flags).astype(np.int64)
 
 
 _HASH_KIND = {"xxh64": 0, "mmh3_x64_128_low64": 1}

@@ -123,19 +123,30 @@ def _band_keys_from_values(
     if nonzero.shape[0] == 0:
         return nonzero, np.empty((0, n_bands), dtype=np.int64)
     k_nz = keep[nonzero]
-    # gather the bottom-kin prefix of each doc out of the shared buffer
-    total = int(k_nz.sum())
-    base = np.repeat(starts[nonzero], k_nz)
-    local = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(k_nz) - k_nz, k_nz
-    )
-    flat = values_u64[base + local]
-    ne_starts = np.concatenate(([0], np.cumsum(k_nz)[:-1]))
     n_ne = nonzero.shape[0]
-    comp = np.empty((n_ne, m), dtype=np.uint64)
-    for j in range(m):
-        y = flat * a_params[j] + b_params[j]
-        comp[:, j] = np.minimum.reduceat(y, ne_starts)
+    from ..hashkernels import _hash_cext
+
+    # C fast path (round 8): per-doc multiply-shift minima with the doc's
+    # <= band_input_k values L1-resident — the numpy reduceat formulation
+    # streams m full-length product arrays through memory per batch.
+    # Wrap-around arithmetic identical; the streaming/batch band-key
+    # equality tests pin both paths.
+    comp = _hash_cext.band_minima_c(
+        values_u64, starts[nonzero], k_nz, a_params, b_params
+    )
+    if comp is None:
+        # gather the bottom-kin prefix of each doc out of the shared buffer
+        total = int(k_nz.sum())
+        base = np.repeat(starts[nonzero], k_nz)
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(k_nz) - k_nz, k_nz
+        )
+        flat = values_u64[base + local]
+        ne_starts = np.concatenate(([0], np.cumsum(k_nz)[:-1]))
+        comp = np.empty((n_ne, m), dtype=np.uint64)
+        for j in range(m):
+            y = flat * a_params[j] + b_params[j]
+            comp[:, j] = np.minimum.reduceat(y, ne_starts)
     mixed = _fmix64(comp).reshape(n_ne, n_bands, r)
     keys = np.zeros((n_ne, n_bands), dtype=np.uint64)
     for rr in range(r):

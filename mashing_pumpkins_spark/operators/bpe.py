@@ -93,11 +93,14 @@ def pretoken_words(
 
 def adjacent_pairs(syms: Column) -> Column:
     """Overlapping adjacent symbol pairs — Sennrich get_stats semantics
-    (``zip(symbols, symbols[1:])``).  Empty for single-symbol words."""
+    (``zip(symbols, symbols[1:])``).  Empty for single- OR zero-symbol
+    words (the slice length is clamped at 0: ``slice`` throws on negative
+    lengths, so an empty array previously errored at runtime)."""
     n = F.size(syms)
+    length = F.greatest(n - 1, F.lit(0))
     return F.zip_with(
-        F.slice(syms, 1, n - 1),
-        F.slice(syms, 2, n - 1),
+        F.slice(syms, 1, length),
+        F.slice(syms, 2, length),
         lambda a, b: F.struct(a.alias("l"), b.alias("r")),
     )
 

@@ -217,6 +217,13 @@ def curation_funnel(
         specs.append(("lm_filter", F.col("_lm")))
         gate = F.col("_lm")
 
+    # Round-8 measurement note: persisting the cumulative-flag base here
+    # (so the window/passage/decontamination branches read it instead of
+    # re-deriving the gate chain) was tried and REVERTED — caching the
+    # full text payload cost more than the branch recompute saves
+    # (gated funnel 4.8 s -> 6.4 s adjacent A/B). The declarative
+    # recompute + per-stage checkpointing at production scale stands.
+
     # exact-dedup representative among upstream survivors: min id per
     # content fingerprint, restricted to gate rows (ids are unique, so
     # this equals row_number()==1 over (fp, id) among survivors). The key

@@ -95,7 +95,17 @@ def hll_estimate(registers: DataFrame, m: int) -> DataFrame:
     ``s_sum`` = sum over ALL m buckets of 2^(33 - M_j) (absent bucket:
     M_j = 0), the occupied-bucket count, and the standard HLL estimate
     ``alpha_m * m^2 * 2^33 / s_sum`` (double, for library use — the gate
-    derives an all-integer scaled form from s_sum instead)."""
+    derives an all-integer scaled form from s_sum instead).
+
+    Valid range (round-7 ADVICE): this is the RAW bias-corrected harmonic
+    mean only — Flajolet's small-range correction (linear counting
+    ``m * ln(m / V)`` when estimate < 2.5m and empty buckets V > 0) and
+    the 2^64 large-range correction are deliberately omitted so the
+    estimate stays exactly SQL-replayable. Treat estimates below ~2.5*m
+    as biased (an EMPTY input reads ~0.7*m, pinned by
+    tests/test_hll.py::test_empty_input); cardinalities from ~2.5*m up to
+    well below 2^50 are in the standard ±1.04/sqrt(m) regime (measured
+    1.23% error at m=4096 on 114.6M true distinct)."""
     a_e6 = alpha_e6(m)
     agg = registers.agg(
         F.coalesce(

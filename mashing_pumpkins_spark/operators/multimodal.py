@@ -178,10 +178,20 @@ def decode_png(payload: bytes) -> np.ndarray:
         if not (pw and ph):
             continue
         pstride = pw * bpp
-        prior = np.zeros(pstride, dtype=np.uint8)
         byte_idx = (
             (x0 + dx * np.arange(pw))[:, None] * bpp + np.arange(bpp)[None, :]
         ).reshape(-1)
+        from . import _png_cext
+
+        native = _png_cext.defilter_pass(raw, off, ph, pstride, bpp)
+        if native is not None:
+            # whole-pass C defilter (bit-identical to the row loop below;
+            # the encode->decode identity suite pins both paths), scattered
+            # into the interlace grid in one fancy-index assignment
+            recon[(y0 + dy * np.arange(ph))[:, None], byte_idx[None, :]] = native
+            off += ph * (pstride + 1)
+            continue
+        prior = np.zeros(pstride, dtype=np.uint8)
         for i in range(ph):
             line = np.frombuffer(raw, dtype=np.uint8, count=pstride, offset=off + 1)
             prior = _png_defilter_row(raw[off], line, prior, bpp)

@@ -65,8 +65,14 @@ def minimizer_anchors(data: bytes, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     if m <= w:
         pos = np.array([int(np.argmin(h))], dtype=np.int64)
         return pos, h[pos]
-    wins = sliding_window_view(h, w)  # (m-w+1, w) strided view, no copy
-    sel = np.unique(wins.argmin(axis=1) + np.arange(m - w + 1, dtype=np.int64))
+    from ..hashkernels import _hash_cext
+
+    # O(m) monotonic-deque selection in C (round 8) — identical positions
+    # to the numpy sliding-view argmin below, which reads m*w lanes
+    sel = _hash_cext.minimizer_positions_c(h, w)
+    if sel is None:
+        wins = sliding_window_view(h, w)  # (m-w+1, w) strided view, no copy
+        sel = np.unique(wins.argmin(axis=1) + np.arange(m - w + 1, dtype=np.int64))
     return sel, h[sel]
 
 
