@@ -43,41 +43,47 @@ def candidate_pairs(
     skew_metrics: one row per over-cap bucket (band_id, band_key, size) —
     the per-partition lineage record of what was star-linked.
     """
-    # ONE shuffle of the band table (round 8): groupBy the bucket key and
-    # collect the member list, then emit within-bucket pairs by a double
-    # explode of the list. The previous window + self-join shape shuffled
-    # the band table three times (window partitioning, then each self-join
-    # side); the per-bucket pair set — full pairing under the cap, star
-    # linking to the min url above it — is unchanged, as is the skew
-    # metrics row per over-cap bucket.
-    buckets = bands.groupBy("band_id", "band_key").agg(
-        F.collect_list(url_col).alias("_members")
+    from pyspark.sql.window import Window
+
+    # ONE shuffle of the band table (round 8), memory-bounded under any
+    # skew: the bucket size + hub annotation stays a window (WindowExec
+    # buffers a partition with disk spill — never an in-memory array), and
+    # the within-bucket pairing is a collect_list + double explode that
+    # runs ONLY on under-cap rows, reusing the window's (band_id,
+    # band_key) hash partitioning and sort — no exchange between them, and
+    # every collected list is bounded by band_group_cap. The old shape's
+    # within-bucket SELF-JOIN (two more exchanges of the band table) is
+    # gone; over-cap buckets still star-link to the window hub row-by-row
+    # (no list ever materializes for them). Per-bucket pair semantics
+    # unchanged: full pairing under the cap, star linking to the min url
+    # above it, one skew-metrics row per over-cap bucket.
+    w = Window.partitionBy("band_id", "band_key")
+    annotated = bands.withColumn("bucket_size", F.count("*").over(w)).withColumn(
+        "hub", F.min(url_col).over(w)
     )
-    small = buckets.where(F.size("_members") <= cfg.band_group_cap)
+
+    small = annotated.where(F.col("bucket_size") <= cfg.band_group_cap)
     full_pairs = (
-        small.where(F.size("_members") >= 2)
+        small.groupBy("band_id", "band_key")
+        .agg(F.collect_list(url_col).alias("_members"))
+        .where(F.size("_members") >= 2)
         .select(F.explode("_members").alias("url_a"), F.col("_members"))
         .select("url_a", F.explode("_members").alias("url_b"))
         .where(F.col("url_a") < F.col("url_b"))
     )
 
-    big = buckets.where(F.size("_members") > cfg.band_group_cap)
-    star_pairs = (
-        big.select(
-            F.array_min("_members").alias("hub"),
-            F.explode("_members").alias(url_col),
-        )
-        .where(F.col(url_col) != F.col("hub"))
-        .select(
-            F.least(url_col, "hub").alias("url_a"),
-            F.greatest(url_col, "hub").alias("url_b"),
-        )
+    big = annotated.where(F.col("bucket_size") > cfg.band_group_cap)
+    star_pairs = big.where(F.col(url_col) != F.col("hub")).select(
+        F.least(url_col, "hub").alias("url_a"),
+        F.greatest(url_col, "hub").alias("url_b"),
     )
 
     pairs = (
         full_pairs.select("url_a", "url_b").union(star_pairs).distinct()
     )
-    skew_metrics = big.select(
-        "band_id", "band_key", F.size("_members").alias("bucket_size")
+    skew_metrics = (
+        annotated.where(F.col("bucket_size") > cfg.band_group_cap)
+        .select("band_id", "band_key", "bucket_size")
+        .distinct()
     )
     return pairs, skew_metrics

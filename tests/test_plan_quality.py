@@ -33,19 +33,26 @@ def test_no_cartesian_product(plan_frames, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_band_pairing_is_single_bucket_shuffle(plan_frames):
+def test_band_pairing_is_bucket_keyed_and_memory_bounded(plan_frames):
     plan = plan_frames["pairs"]._jdf.queryExecution().executedPlan().toString()
-    # round-8 shape: within-bucket pairing is ONE hash aggregation keyed by
-    # (band_id, band_key) followed by in-bucket explodes — the band table
-    # crosses the wire once, where the old window + self-join crossed it
-    # three times. Never a cartesian/BNLJ, and the bucket key must drive
-    # the exchange.
-    assert "band_key" in plan
+    # round-8 shape: the size/hub annotation is a spill-safe Window keyed
+    # by (band_id, band_key); within-bucket pairing is a collect_list +
+    # double explode on UNDER-CAP rows only, reusing the window's
+    # partitioning and sort (no exchange between them, every list bounded
+    # by band_group_cap); over-cap buckets star-link row-by-row off the
+    # window hub. The old within-bucket SELF-JOIN (two further exchanges
+    # of the band table) must not come back.
     assert "Exchange hashpartitioning(band_id" in plan
+    assert "Window" in plan
+    assert "collect_list" in plan
     assert "Generate explode" in plan
-    # exactly one exchange of the band table feeds the pairing (the later
-    # distinct aggregation exchanges the much smaller pair table)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # partitioning reuse: no exchange between the pairing aggregation and
+    # the window feeding it
+    agg_pos = plan.find("partial_collect_list")
+    win_pos = plan.find("Window", agg_pos)
+    assert agg_pos != -1 and win_pos != -1
+    assert "Exchange" not in plan[agg_pos:win_pos]
 
 
 def test_substring_dedup_plan_is_equi_join(spark):
