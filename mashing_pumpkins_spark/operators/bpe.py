@@ -132,6 +132,63 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+# Cost dispatch bound for the driver-side merge loop (fit_bpe): below this
+# many distinct pretokens the whole word table fits the driver comfortably
+# (~100 B/row -> ~20 MB) and the per-merge Spark jobs are pure overhead —
+# the same small-side dispatch discipline as connected_components_auto's
+# driver union-find. At web scale (10^8-10^9 distinct pretokens) the
+# distributed loop below is the plan.
+FIT_DRIVER_MAX_WORDS = 200_000
+
+
+def _fit_bpe_driver(
+    collected: list, n_merges: int, min_count: int
+) -> "tuple[list, list] | None":
+    """Driver-side merge loop over the collected (word, cnt) rows.
+
+    Returns (merges, final_word_rows) with EXACTLY the distributed loop's
+    semantics — overlapping pair stats weighted by cnt, argmax by
+    (count, left, right), greedy leftmost non-overlapping rewrite — or
+    None when any word contains a non-BMP character: Spark's
+    ``split(word, '')`` splits Java UTF-16 code UNITS (surrogate halves),
+    Python iterates code POINTS, so only BMP-clean vocabularies are
+    provably identical and anything else keeps the distributed path."""
+    for w, _ in collected:
+        for ch in w:
+            if ord(ch) > 0xFFFF:
+                return None
+    vocab = [[list(w), int(c)] for w, c in collected]
+    merges: list = []
+    for step in range(1, n_merges + 1):
+        pairs: dict = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                pairs[key] = pairs.get(key, 0) + cnt
+        if not pairs:
+            break
+        # max by (count, left, right); Python str order == Spark UTF8String
+        # binary order for BMP strings (UTF-8 preserves code-point order)
+        (left, right), c = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append(
+            {"step": step, "left_sym": left, "right_sym": right, "pair_count": int(c)}
+        )
+        merged = left + right
+        for ws in vocab:
+            syms = ws[0]
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            ws[0] = acc
+    rows = [(w, int(c), vocab[i][0]) for i, (w, c) in enumerate(collected)]
+    return merges, rows
+
+
 def fit_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -139,19 +196,41 @@ def fit_bpe(
     min_count: int = 1,
     pretoken_re: str = DEFAULT_PRETOKEN_RE,
     checkpoint_every: int = 8,
+    driver_max_words: int = FIT_DRIVER_MAX_WORDS,
 ) -> BpeModel:
     """Train ``n_merges`` BPE merges over ``df[text_col]``.
 
     Stops early when no adjacent pair reaches ``min_count`` (or no pairs
-    remain).  Each iteration is one shuffle over the word table plus a
-    one-row argmax job; the corpus itself is read exactly once.
+    remain).  Physical dispatch (round 8): the distinct-pretoken table is
+    probed with ``limit(driver_max_words + 1)``; when it fits, the merge
+    loop runs driver-side in plain Python with bit-identical semantics
+    (pinned by test_fit_bpe_driver_path_equals_distributed and the
+    bpe_train SQL oracle) — the sequential one-job-per-merge Spark loop
+    is pure scheduling overhead at vocabulary sizes a driver holds
+    trivially.  Above the bound (or with any non-BMP pretoken, or
+    ``driver_max_words <= 0``) every merge iteration is one shuffle over
+    the word table plus a one-row argmax job; the corpus is read exactly
+    once either way.
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    base = pretoken_words(df, text_col, pretoken_re)
+    if driver_max_words > 0:
+        probe = base.limit(driver_max_words + 1).collect()
+        if len(probe) <= driver_max_words:
+            fast = _fit_bpe_driver(
+                [(r["word"], int(r["cnt"])) for r in probe], n_merges, min_count
+            )
+            if fast is not None:
+                merges, rows = fast
+                spark = df.sparkSession
+                schema = "word string, cnt bigint, syms array<string>"
+                words = spark.createDataFrame(rows, schema=schema).persist()
+                return BpeModel(merges=merges, words=words)
     words = (
-        pretoken_words(df, text_col, pretoken_re)
+        base
         .withColumn("syms", F.split("word", ""))
         .persist()
     )

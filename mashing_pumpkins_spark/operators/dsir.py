@@ -134,13 +134,51 @@ def dsir_top_k(
     TakeOrderedAndProject — only k rows leave each partition."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    target = fit_hashed_ngram_model(target_docs, n_buckets, text_col)
-    raw = fit_hashed_ngram_model(
-        docs if raw_reference is None else raw_reference, n_buckets, text_col
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # Round 8: BOTH models fit in ONE tagged union aggregate (one shuffle,
+    # one job) instead of two sequential persist+collect fits — the two
+    # B-row count tables and both totals come out of the same pass, with
+    # identical per-model counts (the tag key separates them exactly as
+    # two groupBys would).
+    raw_docs = docs if raw_reference is None else raw_reference
+    tagged = (
+        target_docs.select(F.lit(0).alias("m"), F.explode(_features(text_col)).alias("f"))
+        .unionAll(
+            raw_docs.select(F.lit(1).alias("m"), F.explode(_features(text_col)).alias("f"))
+        )
+        .select("m", token_bucket(F.col("f"), n_buckets).alias("b"))
+        .groupBy("m", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    scores = dsir_scores(docs, target, raw, id_col, text_col)
-    return (
-        scores.where(F.col("n_feats") > 0)
-        .orderBy(F.col("weight_e6").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    try:
+        totals = {
+            int(r["m"]): int(r["t"])
+            for r in tagged.groupBy("m")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
+            .collect()
+        }
+        target = HashedNgramModel(
+            counts=tagged.where(F.col("m") == 0).select("b", "c"),
+            total=totals.get(0, 0),
+            n_buckets=n_buckets,
+        )
+        raw = HashedNgramModel(
+            counts=tagged.where(F.col("m") == 1).select("b", "c"),
+            total=totals.get(1, 0),
+            n_buckets=n_buckets,
+        )
+        scores = dsir_scores(docs, target, raw, id_col, text_col)
+        out = (
+            scores.where(F.col("n_feats") > 0)
+            .orderBy(F.col("weight_e6").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+        # materialize before releasing the fused count cache (the same
+        # eager-result discipline as semdedup / bpe_token_count — without
+        # it the persisted model tables leak per invocation)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tagged.unpersist()
+    return out

@@ -234,3 +234,28 @@ def test_trainer_plan_is_pure_column_algebra(spark, corpus_df):
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_fit_bpe_driver_path_equals_distributed(spark, corpus_df):
+    """Round-8 cost dispatch: the driver-side merge loop (vocab under
+    FIT_DRIVER_MAX_WORDS) must produce the identical merge list AND final
+    word table as the distributed one-job-per-merge loop."""
+    fast = fit_bpe(corpus_df, n_merges=10)  # driver path (tiny vocab)
+    slow = fit_bpe(corpus_df, n_merges=10, driver_max_words=0)  # distributed
+    fm = [(m["step"], m["left_sym"], m["right_sym"], m["pair_count"]) for m in fast.merges]
+    sm = [(m["step"], m["left_sym"], m["right_sym"], m["pair_count"]) for m in slow.merges]
+    assert fm == sm
+    fw = {r["word"]: (tuple(r["syms"]), r["cnt"]) for r in fast.words.collect()}
+    sw = {r["word"]: (tuple(r["syms"]), r["cnt"]) for r in slow.words.collect()}
+    assert fw == sw
+    fast.words.unpersist()
+    slow.words.unpersist()
+
+
+def test_fit_bpe_driver_path_rejects_non_bmp(spark):
+    """A non-BMP pretoken (astral-plane char) must keep the distributed
+    path — Java split('') yields surrogate halves there, so the Python
+    loop could diverge and must decline."""
+    from mashing_pumpkins_spark.operators.bpe import _fit_bpe_driver
+
+    assert _fit_bpe_driver([("a\U0001D54Ab", 2)], 4, 1) is None

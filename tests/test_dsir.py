@@ -108,13 +108,29 @@ def test_validation_errors(spark):
 
 def test_plan_broadcast_models_and_top_k_shape(spark):
     """Model joins broadcast (B-row tables) and selection plans as
-    TakeOrderedAndProject — only k rows leave each partition."""
+    TakeOrderedAndProject — only k rows leave each partition. Since
+    round 8 dsir_top_k returns an eagerly-materialized (localCheckpoint)
+    result so the fused model cache can be released, so the scoring +
+    selection plan is asserted on the pre-checkpoint composition."""
     docs = spark.createDataFrame(
         [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
     )
-    out = dsir_top_k(docs, docs, k=3, n_buckets=32)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    target = fit_hashed_ngram_model(docs, n_buckets=32)
+    raw = fit_hashed_ngram_model(docs, n_buckets=32)
+    scores = dsir_scores(docs, target, raw)
+    sel = (
+        scores.where(F.col("n_feats") > 0)
+        .orderBy(F.col("weight_e6").desc(), F.col("doc_id").asc())
+        .limit(3)
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    target.counts.unpersist()
+    raw.counts.unpersist()
+    # the public dsir_top_k result must be lineage-truncated (checkpoint
+    # scan), so its internal caches can never be recomputed-after-release
+    out = dsir_top_k(docs, docs, k=3, n_buckets=32)
+    assert "ExistingRDD" in out._jdf.queryExecution().executedPlan().toString()
