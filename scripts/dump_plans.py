@@ -189,10 +189,15 @@ def main() -> None:
         (
             "candidate pairs (skew-aware)",
             pairs,
-            "Check: ONE shuffle of the band table feeds the window (bucket "
-            "size + hub via running aggregates); within-bucket pairing is a "
-            "hash/SMJ equi-join on (band_id,band_key); no CartesianProduct/"
-            "BroadcastNestedLoopJoin anywhere.",
+            "Check (round-8 shape): ONE shuffle of the band table feeds the "
+            "spill-safe window (bucket size + hub); within-bucket pairing is "
+            "a collect_list + double explode on UNDER-CAP rows only, reusing "
+            "the window's (band_id,band_key) partitioning — no exchange "
+            "between Window and the pairing aggregate, every list bounded by "
+            "band_group_cap; over-cap buckets star-link row-by-row off the "
+            "hub (no list). The old within-bucket self-join (two more "
+            "exchanges) is gone; no CartesianProduct/BroadcastNestedLoopJoin "
+            "anywhere.",
         ),
         (
             "verify (two-phase exact, join path forced)",
@@ -200,7 +205,12 @@ def main() -> None:
             "Check: prefilter joins carry slice(sig,1,64) — 512B/side, not "
             "the full signature; the exact pass joins full sigs only for "
             "survivors; Jaccard runs in ArrowEvalPython (numpy), never "
-            "Catalyst array_intersect.",
+            "Catalyst array_intersect. (Round-8: when the candidate url "
+            "count keeps the prefix slice under the 48MB broadcast cap, "
+            "phase 1 instead runs as a broadcast dict + ONE mapInPandas "
+            "over the pair table — zero join shuffles; this dump forces the "
+            "join path with broadcast_cap_bytes=0 to audit the large-scale "
+            "shape.)",
         ),
         (
             "substring dedup (minimizer anchors)",
