@@ -150,18 +150,26 @@ def word_ngram_jaccard_pairs(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    # round-8 plan change, value-identical output: ONE groupBy(g) with
-    # collect_set(id) replaces the old distinct + df-count groupBy + join
-    # chain (three shuffles of the full gram table became one) — the set
-    # size IS the post-distinct document frequency, so the <=1000 stop-gram
-    # cap and the per-doc gram counts below see exactly the same rows.
-    by_g = grams.groupBy("g").agg(F.collect_set("id").alias("ids"))
-    by_g = by_g.where(F.size("ids") <= 1000).select("g", "ids")
-    capped = by_g.select(F.explode("ids").alias("id"))
+    # round-8 plan change, value-identical output and memory-bounded under
+    # skew (the same shape as candidates.candidate_pairs): distinct
+    # (id, gram) rows, then the document frequency via a spill-safe Window
+    # over g — never a per-gram id list before the df cap is known — then
+    # ONE collect_list on the under-cap rows reusing the window's
+    # partitioning (no exchange between them; every list <= 1000), and
+    # in-group double explodes for the pair counts. Two gram-table-scale
+    # exchanges total, where the round-start chain (distinct + df groupBy
+    # + join + self-join) paid four-plus; a boilerplate gram present in
+    # every document costs one spilled window partition, not an
+    # n_docs-element aggregation buffer.
+    from pyspark.sql.window import Window
+
+    dp = grams.distinct()
+    wdf = Window.partitionBy("g")
+    capped = dp.withColumn("df", F.count("*").over(wdf)).where(
+        F.col("df") <= 1000
+    )
+    by_g = capped.groupBy("g").agg(F.collect_list("id").alias("ids"))
     sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
-    # pairs: explode each gram's doc-id set twice (the same id_a < id_b
-    # pair set the old self-join on g produced, without re-shuffling the
-    # gram table for the join's two sides)
     inter = (
         by_g.where(F.size("ids") >= 2)
         .select(F.explode("ids").alias("id_a"), F.col("ids"))

@@ -64,6 +64,10 @@ from pyspark.sql.types import DecimalType
 
 _SCALE = 1000  # fixed-point quantization scale for embedding components
 _DEC = DecimalType(38, 0)
+# pairwise-prune scoring block budget (elements of the dot-matrix slice
+# held at once: ~32 MB of float64) — module-level so the block-boundary
+# test can shrink it and force many blocks on a small cluster
+_PRUNE_BLOCK_ELEMS = 4_000_000
 
 
 def quantize_embeddings(
@@ -451,34 +455,52 @@ def semdedup(
             if g > 1:
                 qmax = float(np.abs(q).max()) if q.size else 0.0
                 dim_g = q.shape[1]
-                if dim_g * max(qmax, 1.0) ** 2 < float(1 << 53):
-                    dots = q.astype(np.float64) @ q.astype(np.float64).T
-                    exact_dots = None
-                else:
-                    exact_dots = q.astype(object) @ q.astype(object).T
-                    dots = exact_dots.astype(np.float64)
-                lhs = (dots * dots) * 1e12
-                rhs = float(tau2) * (
-                    n2.astype(np.float64)[:, None] * n2.astype(np.float64)[None, :]
-                )
-                margin = 1e-9 * np.maximum(np.abs(lhs), np.abs(rhs))
-                sure_ge = lhs >= rhs + margin
-                sure_lt = lhs <= rhs - margin
-                near = ~(sure_ge | sure_lt)
-                hit = (dots > 0) & sure_ge
-                if near.any():
-                    for i, j in zip(*np.nonzero(near)):
-                        dij = (
-                            int(exact_dots[i, j])
-                            if exact_dots is not None
-                            else int(np.dot(q[i].astype(object), q[j].astype(object)))
+                f64_exact = dim_g * max(qmax, 1.0) ** 2 < float(1 << 53)
+                qf = q.astype(np.float64)
+                n2f = n2.astype(np.float64)
+                # row-blocked scoring: the dot matrix is never materialized
+                # whole — blocks of ~4M elements bound task memory at
+                # ~32 MB regardless of cluster size (an uncapped cluster of
+                # 10^5 members would otherwise need an 80 GB g x g matrix;
+                # the cap discipline is max_cluster_size, but the operator
+                # must not OOM when a caller leaves it unset)
+                bs = max(1, _PRUNE_BLOCK_ELEMS // g)
+                for i0 in range(1, g, bs):
+                    i1 = min(i0 + bs, g)
+                    # only lower-ranked columns j < i can remove row i
+                    jmax = i1 - 1
+                    if f64_exact:
+                        dots = qf[i0:i1] @ qf[:jmax].T
+                        exact_dots = None
+                    else:
+                        exact_dots = (
+                            q[i0:i1].astype(object) @ q[:jmax].astype(object).T
                         )
-                        hit[i, j] = dij > 0 and dij * dij * (10**12) >= tau2 * int(
-                            n2[i]
-                        ) * int(n2[j])
-                # p (row index i, rank order) removed iff any hit against a
-                # strictly lower-ranked j (j < i after the rank sort)
-                removed = (np.tril(hit, k=-1)).any(axis=1)
+                        dots = exact_dots.astype(np.float64)
+                    lhs = (dots * dots) * 1e12
+                    rhs = float(tau2) * (n2f[i0:i1, None] * n2f[None, :jmax])
+                    margin = 1e-9 * np.maximum(np.abs(lhs), np.abs(rhs))
+                    sure_ge = lhs >= rhs + margin
+                    near = ~(sure_ge | (lhs <= rhs - margin))
+                    hit = (dots > 0) & sure_ge
+                    if near.any():
+                        for bi, j in zip(*np.nonzero(near)):
+                            i = i0 + bi
+                            dij = (
+                                int(exact_dots[bi, j])
+                                if exact_dots is not None
+                                else int(
+                                    np.dot(q[i].astype(object), q[j].astype(object))
+                                )
+                            )
+                            hit[bi, j] = dij > 0 and dij * dij * (
+                                10**12
+                            ) >= tau2 * int(n2[i]) * int(n2[j])
+                    # p (global row i, rank order) removed iff any hit
+                    # against a strictly lower-ranked j (j < i)
+                    col = np.arange(jmax)[None, :]
+                    row = np.arange(i0, i1)[:, None]
+                    removed[i0:i1] = (hit & (col < row)).any(axis=1)
             return pd.DataFrame(
                 {
                     id_col: pdf[id_col],

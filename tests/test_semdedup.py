@@ -207,3 +207,33 @@ def test_choose_n_clusters_pins_and_clamps():
         choose_n_clusters(-1)
     with _pytest.raises(ValueError):
         choose_n_clusters(10, target_cluster_size=0)
+
+
+def test_blocked_prune_equals_single_block(spark):
+    """Round-8 row-blocked pairwise scoring: shrinking the block budget so
+    every cluster spans many blocks must not change a single kept flag
+    (the block boundary only partitions the i-rows; each block still sees
+    all lower-ranked columns)."""
+    import numpy as np
+
+    from mashing_pumpkins_spark.operators import semdedup as S
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (int(i), [float(v) for v in rng.integers(-50, 50, size=8)])
+        for i in range(120)
+    ]
+    # plant near-duplicates so hits actually occur
+    rows += [(1000 + i, [v * 0.99 for v in rows[i][1]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = S.semdedup(df, n_clusters=3, tau_ppm=950_000, n_iters=1)
+    got_a = {r["vec_id"]: r["kept"] for r in base.collect()}
+    old = S._PRUNE_BLOCK_ELEMS
+    S._PRUNE_BLOCK_ELEMS = 16  # forces bs=1 at any g — maximal blocking
+    try:
+        blocked = S.semdedup(df, n_clusters=3, tau_ppm=950_000, n_iters=1)
+        got_b = {r["vec_id"]: r["kept"] for r in blocked.collect()}
+    finally:
+        S._PRUNE_BLOCK_ELEMS = old
+    assert got_a == got_b
+    assert any(not k for k in got_a.values())  # hits occurred
