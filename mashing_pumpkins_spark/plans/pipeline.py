@@ -184,6 +184,11 @@ def run_pipeline_flow(
     signatures = _sketch_stage(reps, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     bands = band_table(signatures, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     pairs, _skew = candidate_pairs(bands, cfg)
+    # pairs feed THREE verify consumers (the strategy-dispatch url count,
+    # the candidate-url slice, and the scoring scan) — without a persist
+    # the window + pairing chain recomputes per consumer (round-8 profile:
+    # verify dominated the flow wall 5.4 s of 9, ~half of it recompute)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     near_edges = verified_edges(pairs, signatures, cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
