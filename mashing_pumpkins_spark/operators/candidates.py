@@ -62,7 +62,12 @@ def candidate_pairs(
         "hub", F.min(url_col).over(w)
     )
 
-    small = annotated.where(F.col("bucket_size") <= cfg.band_group_cap)
+    # singleton buckets (the vast majority on duplicate-light corpora)
+    # produce no pairs — drop them BEFORE the collect_list instead of
+    # collecting 1-element lists and discarding them after
+    small = annotated.where(
+        (F.col("bucket_size") <= cfg.band_group_cap) & (F.col("bucket_size") >= 2)
+    )
     full_pairs = (
         small.groupBy("band_id", "band_key")
         .agg(F.collect_list(url_col).alias("_members"))
@@ -81,9 +86,14 @@ def candidate_pairs(
     pairs = (
         full_pairs.select("url_a", "url_b").union(star_pairs).distinct()
     )
+    # skew metrics via a map-side-combined groupBy count, NOT the window:
+    # consumers run this as a SEPARATE job (the pipeline's report agg), and
+    # the window form made that job re-shuffle + re-sort + re-buffer the
+    # whole band table a second time — a hash aggregate produces the same
+    # one row per over-cap bucket for a partial-agg pass with no sort
     skew_metrics = (
-        annotated.where(F.col("bucket_size") > cfg.band_group_cap)
-        .select("band_id", "band_key", "bucket_size")
-        .distinct()
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > cfg.band_group_cap)
     )
     return pairs, skew_metrics

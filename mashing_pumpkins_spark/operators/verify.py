@@ -44,8 +44,68 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from ..config import PipelineConfig
+from . import _intersect_cext
 
 PREFILTER_K = 64  # default when the caller's PipelineConfig predates the knob
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def _flat_layout(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat int64 values, offsets[n+1], lens) for a Series/sequence of
+    int64 arrays (None -> empty). One concatenate, no per-row numpy calls
+    beyond the asarray coercion pandas already made."""
+    arrays = [
+        _EMPTY_I64 if a is None else np.asarray(a, dtype=np.int64) for a in col
+    ]
+    lens = np.fromiter((a.shape[0] for a in arrays), np.int64, len(arrays))
+    offs = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.concatenate(arrays) if arrays else _EMPTY_I64
+    return flat, offs, lens
+
+
+def _pair_jaccard_block(
+    aflat: np.ndarray,
+    aoffs: np.ndarray,
+    alens: np.ndarray,
+    bflat: np.ndarray,
+    boffs: np.ndarray,
+    blens: np.ndarray,
+) -> np.ndarray:
+    """Row-aligned exact Jaccard over two list layouts: C sorted-merge for
+    the (overwhelmingly common) sorted-unique sketch rows, np.intersect1d
+    for any row the sortedness scan flags — bit-identical to the per-pair
+    numpy loop on every input."""
+    n = alens.shape[0]
+    inter = _intersect_cext.intersect_counts_ab(aflat, aoffs, bflat, boffs)
+    if inter is None:
+        inter = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            xa = aflat[aoffs[i] : aoffs[i + 1]]
+            yb = bflat[boffs[i] : boffs[i + 1]]
+            if xa.shape[0] and yb.shape[0]:
+                inter[i] = np.intersect1d(
+                    xa, yb, assume_unique=True
+                ).shape[0]
+    else:
+        bad = np.union1d(
+            _intersect_cext.violating_rows(aflat, aoffs[:-1], alens),
+            _intersect_cext.violating_rows(bflat, boffs[:-1], blens),
+        )
+        for i in bad:
+            xa = aflat[aoffs[i] : aoffs[i + 1]]
+            yb = bflat[boffs[i] : boffs[i + 1]]
+            inter[i] = (
+                np.intersect1d(xa, yb, assume_unique=True).shape[0]
+                if xa.shape[0] and yb.shape[0]
+                else 0
+            )
+    out = np.zeros(n, dtype=np.float64)
+    ok = (alens > 0) & (blens > 0)
+    union = alens + blens - inter
+    out[ok] = inter[ok] / union[ok]
+    return out
 
 
 @F.pandas_udf(DoubleType())
@@ -53,24 +113,137 @@ def _jaccard_udf(
     pairs: Iterator[Tuple[pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
     for a_col, b_col in pairs:
-        out = np.zeros(len(a_col), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(a_col, b_col)):
-            if a is None or b is None:
-                continue
-            xa = np.asarray(a, dtype=np.int64)
-            yb = np.asarray(b, dtype=np.int64)
-            if xa.shape[0] == 0 or yb.shape[0] == 0:
-                continue
-            inter = np.intersect1d(xa, yb, assume_unique=True).shape[0]
-            union = xa.shape[0] + yb.shape[0] - inter
-            out[i] = inter / union
-        yield pd.Series(out)
+        aflat, aoffs, alens = _flat_layout(a_col)
+        bflat, boffs, blens = _flat_layout(b_col)
+        yield pd.Series(
+            _pair_jaccard_block(aflat, aoffs, alens, bflat, boffs, blens)
+        )
 
 
 def _join_sigs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     sig_a = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
     return pairs.join(sig_a, "url_a").join(sig_b, "url_b")
+
+
+def _collect_slice_flat(
+    pairs: DataFrame, sigs: DataFrame
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict, np.ndarray]:
+    """Candidate-url signature slice as one flat layout: semi-join sigs to
+    the urls appearing in any pair, collect ONCE via Arrow (toArrow — no
+    row-pickle path, ~10x the old toPandas dict build at a 100 MB slice),
+    and expose the Arrow ListArray's own (values, offsets) buffers as
+    (flat int64 values, starts, lens, url -> row index, violating rows).
+    The flat layout is what gets broadcast: one ndarray + a str->int dict
+    pickles far faster than a dict of 10^5 small ndarrays."""
+    urls = pairs.select(
+        F.explode(F.array("url_a", "url_b")).alias("url")
+    ).distinct()
+    tbl = sigs.join(urls, "url", "semi").toArrow().combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        flat, starts, lens = _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+        idx: dict = {}
+    else:
+        sig_arr = tbl.column("sig").chunk(0)
+        if sig_arr.null_count:
+            # never produced by sketch_table; per-row build keeps the
+            # None -> empty semantics of the old dict path
+            rows = [
+                _EMPTY_I64 if s is None else np.asarray(s, dtype=np.int64)
+                for s in sig_arr.to_pylist()
+            ]
+            flat, offs, lens = _flat_layout(rows)
+            starts = offs[:-1]
+        else:
+            offs = np.asarray(sig_arr.offsets).astype(np.int64)
+            flat = np.asarray(sig_arr.flatten(), dtype=np.int64)
+            starts = offs[:-1] - offs[0]
+            lens = np.diff(offs)
+        idx = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
+    viol = _intersect_cext.violating_rows(flat, starts, lens)
+    return flat, starts, lens, idx, viol
+
+
+def _broadcast_score(
+    pairs: DataFrame, sigs: DataFrame, threshold: float, emit_jaccard: bool
+) -> DataFrame:
+    """Shared broadcast scoring pass: the signature slice rides to every
+    task as a flat buffer, the pair table streams through ONE mapInPandas
+    (zero join shuffles), and each batch is scored by the C sorted-merge
+    kernel (numpy per-pair fallback, bit-identical — see
+    _pair_jaccard_block). With emit_jaccard this IS the verify stage; without
+    it it is the phase-1 prefix prefilter (same float predicate either way).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = pairs.sparkSession
+    flat, starts, lens, idx, viol = _collect_slice_flat(pairs, sigs)
+    bc = spark.sparkContext.broadcast((flat, starts, lens, idx, set(viol.tolist())))
+    fields = [StructField("url_a", StringType()), StructField("url_b", StringType())]
+    if emit_jaccard:
+        fields.append(StructField("jaccard", DoubleType()))
+    out_schema = StructType(fields)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals, st, ln, table, bad_rows = bc.value
+        get = table.get
+        for pdf in batches:
+            ua = pdf["url_a"]
+            ub = pdf["url_b"]
+            n = len(pdf)
+            ia = np.fromiter((get(u, -1) for u in ua), np.int64, n)
+            ib = np.fromiter((get(u, -1) for u in ub), np.int64, n)
+            inter = _intersect_cext.intersect_counts_indexed(vals, st, ln, ia, ib)
+            la = np.zeros(n, dtype=np.int64)
+            lb = np.zeros(n, dtype=np.int64)
+            ma = ia >= 0
+            mb = ib >= 0
+            la[ma] = ln[ia[ma]]
+            lb[mb] = ln[ib[mb]]
+            redo = None
+            if inter is None:
+                redo = range(n)
+                inter = np.zeros(n, dtype=np.int64)
+            elif bad_rows:
+                redo = [
+                    i
+                    for i in range(n)
+                    if (ia[i] in bad_rows or ib[i] in bad_rows)
+                ]
+            if redo is not None:
+                for i in redo:
+                    if ia[i] < 0 or ib[i] < 0:
+                        continue
+                    xa = vals[st[ia[i]] : st[ia[i]] + ln[ia[i]]]
+                    yb = vals[st[ib[i]] : st[ib[i]] + ln[ib[i]]]
+                    inter[i] = (
+                        np.intersect1d(xa, yb, assume_unique=True).shape[0]
+                        if xa.shape[0] and yb.shape[0]
+                        else 0
+                    )
+            jac = np.zeros(n, dtype=np.float64)
+            ok = (la > 0) & (lb > 0)
+            union = la + lb - inter
+            jac[ok] = inter[ok] / union[ok]
+            keep = jac >= threshold
+            if emit_jaccard:
+                yield pd.DataFrame(
+                    {
+                        "url_a": ua[keep],
+                        "url_b": ub[keep],
+                        "jaccard": np.round(jac[keep], 9),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"url_a": ua[keep], "url_b": ub[keep]})
+
+    return pairs.select("url_a", "url_b").mapInPandas(score, out_schema)
 
 
 def _broadcast_prefilter(
@@ -83,40 +256,7 @@ def _broadcast_prefilter(
     Pure physical change: the survivor predicate is the same float
     ``inter/union >= pre_tau`` the join path's _jaccard_udf computes, on
     the same prefix arrays."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    spark = pairs.sparkSession
-    urls = pairs.select(
-        F.explode(F.array("url_a", "url_b")).alias("url")
-    ).distinct()
-    slice_pdf = prefixes.join(urls, "url", "semi").toPandas()
-    lookup = {
-        u: np.asarray(s, dtype=np.int64)
-        for u, s in zip(slice_pdf["url"], slice_pdf["sig"])
-    }
-    bc = spark.sparkContext.broadcast(lookup)
-    out_schema = StructType(
-        [StructField("url_a", StringType()), StructField("url_b", StringType())]
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        table = bc.value
-        empty = np.empty(0, dtype=np.int64)
-        for pdf in batches:
-            ua = pdf["url_a"]
-            ub = pdf["url_b"]
-            pj = np.zeros(len(pdf), dtype=np.float64)
-            for i, (a, b) in enumerate(zip(ua, ub)):
-                xa = table.get(a, empty)
-                yb = table.get(b, empty)
-                if xa.shape[0] == 0 or yb.shape[0] == 0:
-                    continue
-                inter = np.intersect1d(xa, yb, assume_unique=True).shape[0]
-                pj[i] = inter / (xa.shape[0] + yb.shape[0] - inter)
-            keep = pj >= pre_tau
-            yield pd.DataFrame({"url_a": ua[keep], "url_b": ub[keep]})
-
-    return pairs.select("url_a", "url_b").mapInPandas(score, out_schema)
+    return _broadcast_score(pairs, prefixes, pre_tau, emit_jaccard=False)
 
 
 def _broadcast_verify(
@@ -124,58 +264,10 @@ def _broadcast_verify(
 ) -> DataFrame:
     """Small-candidate-set physical strategy: semi-join signatures down to
     the urls that appear in any pair, pull that slice to the driver (Arrow)
-    and broadcast it as a numpy dict — the pair table then streams through
-    one mapInPandas with ZERO join shuffles. The analog of a broadcast hash
+    and broadcast it flat — the pair table then streams through one
+    mapInPandas with ZERO join shuffles. The analog of a broadcast hash
     join where the build side is the candidate signature slice."""
-    from pyspark.sql.types import (
-        DoubleType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    spark = pairs.sparkSession
-    urls = pairs.select(
-        F.explode(F.array("url_a", "url_b")).alias("url")
-    ).distinct()
-    slice_pdf = sigs.join(urls, "url", "semi").toPandas()
-    lookup = {
-        u: np.asarray(s, dtype=np.int64)
-        for u, s in zip(slice_pdf["url"], slice_pdf["sig"])
-    }
-    bc = spark.sparkContext.broadcast(lookup)
-    out_schema = StructType(
-        [
-            StructField("url_a", StringType()),
-            StructField("url_b", StringType()),
-            StructField("jaccard", DoubleType()),
-        ]
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        table = bc.value
-        empty = np.empty(0, dtype=np.int64)
-        for pdf in batches:
-            ua = pdf["url_a"]
-            ub = pdf["url_b"]
-            jac = np.zeros(len(pdf), dtype=np.float64)
-            for i, (a, b) in enumerate(zip(ua, ub)):
-                xa = table.get(a, empty)
-                yb = table.get(b, empty)
-                if xa.shape[0] == 0 or yb.shape[0] == 0:
-                    continue
-                inter = np.intersect1d(xa, yb, assume_unique=True).shape[0]
-                jac[i] = inter / (xa.shape[0] + yb.shape[0] - inter)
-            keep = jac >= tau
-            yield pd.DataFrame(
-                {
-                    "url_a": ua[keep],
-                    "url_b": ub[keep],
-                    "jaccard": np.round(jac[keep], 9),
-                }
-            )
-
-    return pairs.select("url_a", "url_b").mapInPandas(score, out_schema)
+    return _broadcast_score(pairs, sigs, tau, emit_jaccard=True)
 
 
 def verified_edges(
@@ -183,17 +275,23 @@ def verified_edges(
     signatures: DataFrame,
     cfg: PipelineConfig,
     url_col: str = "url",
-    broadcast_cap_bytes: int = 48 << 20,
+    broadcast_cap_bytes: int = 160 << 20,
     n_candidate_urls: int | None = None,
 ) -> DataFrame:
     """pairs(url_a, url_b) x signatures(url, sig) -> edges(url_a, url_b, jaccard >= tau).
 
     Physical dispatch: when the candidate signature slice is genuinely
-    small (n_candidate_urls * maxsize * 8B <= ~48MB) use the broadcast
+    small (n_candidate_urls * maxsize * 8B <= the cap) use the broadcast
     strategy — no shuffle at all; otherwise the two-phase prefix-prefilter
-    join path (the 10^12-scale plan). The cap is deliberately conservative:
-    driver-side toPandas + pickle of the slice is SERIAL time — measured
-    ~120s for a 320MB slice, far worse than the shuffles it avoids.
+    join path (the 10^12-scale plan). Cap rationale (round-8 re-measure):
+    the slice now collects via ONE Arrow toArrow pass into a flat buffer —
+    measured ~2 s for the 99 MB bench-corpus slice INCLUDING the semi-join
+    scan (flatten + url-index build 0.04 s, broadcast pickle 1.0 s),
+    vs ~120 s for the 320 MB row-pickle toPandas dict that set the old
+    48 MB cap — and broadcasting a flat ndarray is a single memcpy-shaped
+    pickle; executor-side cost is one mmap-read per python worker. 160 MB
+    keeps driver+worker residency bounded (32 workers x slice) while
+    letting bench-scale candidate sets take the zero-shuffle path.
 
     ``n_candidate_urls``: upper bound on distinct urls in ``pairs`` when the
     caller already knows it (the pipeline passes 2x the candidate-stage row
@@ -232,7 +330,8 @@ def verified_edges(
     # urls), so when the bound alone fails the cap, spend ONE cheap count
     # job on the narrow pair table to get the actual url count — it
     # routinely unlocks a zero-shuffle phase 1 that replaces two sort-merge
-    # joins of the pair x prefix tables.
+    # joins of the pair x prefix tables (and, when the actual count shows
+    # even the FULL slice fits, the single-pass broadcast verify).
     n_act = n_urls
     if n_act * prefilter_k * 8 > broadcast_cap_bytes and n_candidate_urls is not None:
         n_act = (
@@ -240,6 +339,10 @@ def verified_edges(
             .distinct()
             .count()
         )
+        if n_act * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
+            # the bound was pessimistic: the full-signature slice fits
+            # after all — one zero-shuffle pass, no prefilter phase
+            return _broadcast_verify(pairs, sigs, tau)
     if n_act * prefilter_k * 8 <= broadcast_cap_bytes:
         survivors = _broadcast_prefilter(pairs, prefixes, pre_tau)
     else:

@@ -10,8 +10,6 @@ metrics (rows, wall sec, per-partition counts) come back in the run report.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,12 +23,52 @@ from ..operators.verify import verified_edges
 from .checkpoint import ParquetCheckpointStore, StageResult
 
 
-@dataclass
 class RunReport:
-    stages: list[StageResult] = field(default_factory=list)
-    cc_iterations: int = 0
-    star_buckets: int = 0
-    star_members: int = 0
+    """Stage metrics for one pipeline run.
+
+    ``star_buckets`` / ``star_members`` (the over-cap skew lineage) are
+    LAZY: reading them runs one small aggregate over the committed band
+    table on FIRST access (guide §1.2: don't spend a full band-table pass
+    on numbers the caller may never read — the bench path reads only the
+    clusters). Access them while the checkpoint store is still alive;
+    values are cached after the first read."""
+
+    def __init__(
+        self,
+        stages: list[StageResult] | None = None,
+        cc_iterations: int = 0,
+        star_buckets: int = 0,
+        star_members: int = 0,
+    ):
+        self.stages = stages if stages is not None else []
+        self.cc_iterations = cc_iterations
+        self._stars = (star_buckets, star_members)
+        self._star_thunk = None
+
+    def _force_stars(self) -> None:
+        if self._star_thunk is not None:
+            thunk, self._star_thunk = self._star_thunk, None
+            self._stars = thunk()
+
+    @property
+    def star_buckets(self) -> int:
+        self._force_stars()
+        return self._stars[0]
+
+    @star_buckets.setter
+    def star_buckets(self, v: int) -> None:
+        self._force_stars()
+        self._stars = (int(v), self._stars[1])
+
+    @property
+    def star_members(self) -> int:
+        self._force_stars()
+        return self._stars[1]
+
+    @star_members.setter
+    def star_members(self, v: int) -> None:
+        self._force_stars()
+        self._stars = (self._stars[0], int(v))
 
     def to_dict(self) -> dict:
         return {
@@ -126,11 +164,15 @@ def run_pipeline(
 
     def _candidates():
         pairs, skew = candidate_pairs(bands, cfg)
-        skew_rows = skew.agg(
-            F.count("*").alias("b"), F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("m")
-        ).first()
-        report.star_buckets = int(skew_rows["b"])
-        report.star_members = int(skew_rows["m"])
+
+        def stars() -> tuple[int, int]:
+            skew_rows = skew.agg(
+                F.count("*").alias("b"),
+                F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("m"),
+            ).first()
+            return int(skew_rows["b"]), int(skew_rows["m"])
+
+        report._star_thunk = stars
         return pairs
 
     pairs = stage("candidates", _candidates)
