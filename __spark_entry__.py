@@ -1273,37 +1273,68 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count of the corpus's word 4-grams
-    (operators/hll.py): 64 registers regardless of cardinality, built by
-    ONE map-side-combined groupBy — never a distinct shuffle of the keys.
-    The scaled estimate is all-integer (alpha_e6 * m^2 * 2^33 floor-
+    (operators/hll.py): 64 registers regardless of cardinality. The
+    scaled estimate is all-integer (alpha_e6 * m^2 * 2^33 floor-
     divided by the exact harmonic-sum bigint), so the oracle replays
     registers AND the estimate exactly; exact count + a 40% accuracy
-    boolean ride along (observed error 0.4-12% across sf)."""
-    from mashing_pumpkins_spark.operators.hll import (
-        alpha_e6,
-        hll_estimate,
-        hll_registers,
-    )
+    boolean ride along (observed error 0.4-12% across sf).
+
+    Plan note (round 8): registers are max-aggregates, so they are
+    DUPLICATE-INSENSITIVE — this gate query (whose declared output also
+    carries the exact distinct count, forcing a gram distinct anyway)
+    runs ONE aggregation chain: grams.distinct() -> per-bucket
+    (max rho, distinct-gram count) -> one-row summary, where
+    sum(per-bucket counts) IS the exact count. The old plan built two
+    independent branches (countDistinct + registers), each re-running
+    the expensive gram construction (regex tokenize + per-gram
+    array_join), then crossJoined the 1-row sides. Register math is
+    hll.hll_bucket_rho / the hll_estimate formulas verbatim, so the
+    oracle still replays every column; the standalone operator keeps
+    its never-a-distinct-shuffle map-side shape for production use
+    (hll_registers docstring)."""
+    from mashing_pumpkins_spark.operators.corpus import word_gram_array
+    from mashing_pumpkins_spark.operators.hll import alpha_e6, hll_bucket_rho
 
     m = 64
     num = alpha_e6(m) * m * m * (2**33) // 1000  # exact: alpha_e6 % 1000 == 0
     docs = _docs(spark, sf_dir)
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
-    grams = docs.select(
-        F.explode(
-            F.when(
-                F.size(words) >= 4,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 3),
-                    lambda i: F.array_join(F.slice(words, i, 4), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram")
+    # zip_with gram form (corpus.word_gram_array): the old
+    # transform(sequence, i -> array_join(slice(words, i, 4))) lambda
+    # re-evaluated the whole regexp tokenization once PER GRAM after
+    # projection collapse — O(words^2) per doc (same bug class the
+    # word_gram_array docstring records); same gram strings either way
+    grams = docs.select(F.explode(word_gram_array(words, 4)).alias("gram"))
+    bucket, rho = hll_bucket_rho(F.col("gram"), m)
+    regs = (
+        grams.distinct()
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"), F.count("*").alias("_cnt"))
     )
-    exact = grams.agg(F.countDistinct("gram").cast("bigint").alias("n_exact"))
-    est = hll_estimate(hll_registers(grams, "gram", m=m), m=m)
+    # hll_estimate's summary with the exact count fused in: s_sum adds
+    # 2^33 for each of the (m - n_present) absent buckets, exactly as
+    # operators/hll.hll_estimate computes it
+    agg = regs.agg(
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(33) - F.col("m_j")).cast("bigint")),
+            F.lit(0),
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("n_exact"),
+    )
+    s_sum = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(2**33).cast("bigint")
+    ).cast("bigint")
+    est = agg.select(
+        F.lit(m).alias("m"),
+        "n_exact",
+        s_sum.alias("s_sum"),
+        F.col("n_present").cast("bigint").alias("n_present"),
+    )
     est_milli = F.expr(f"{num}L div s_sum")
-    return est.crossJoin(exact).select(
+    return est.select(
         "m",
         "n_exact",
         "s_sum",

@@ -133,22 +133,18 @@ def word_ngram_jaccard_pairs(
     SQL-replayable. The shingle explode shuffles on the n-gram value, so
     common n-grams skew; production variant would cap n-gram document
     frequency (stop-gram removal) — applied here via a df cap of 1000."""
+    from .corpus import word_gram_array
+
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
     )
+    # zip_with gram form (corpus.word_gram_array): the old
+    # transform(sequence, i -> concat_ws(slice(w, i+1, n))) lambda
+    # re-evaluated the split tokenization once PER GRAM after projection
+    # collapse — O(words^2) per doc; same gram strings either way
     grams = toks.select(
-        "id",
-        F.explode(
-            # guard: sequence(0, negative) would generate a DESCENDING range
-            F.when(
-                F.size("w") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - F.lit(n)),
-                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        "id", F.explode(word_gram_array(F.col("w"), n)).alias("g")
     )
     # round-8 plan change, value-identical output and memory-bounded under
     # skew (the same shape as candidates.candidate_pairs): distinct

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "alpha_e6",
+    "hll_bucket_rho",
     "hll_registers",
     "hll_estimate",
     "merge_registers",
@@ -57,6 +58,18 @@ def _rho(h2: Column) -> Column:
     )
 
 
+def hll_bucket_rho(key: Column, m: int) -> tuple[Column, Column]:
+    """(bucket, rho) columns for one key — the per-row projection both
+    :func:`hll_registers` and callers fusing extra aggregates onto the
+    same pass (e.g. the hll_distinct gate query) share, so the md5
+    split-hash recipe exists in exactly one place."""
+    alpha_e6(m)  # validates m
+    digest = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint")
+    return F.pmod(h1, F.lit(m)), _rho(h2)
+
+
 def hll_registers(
     df: DataFrame, key_col: str = "key", m: int = 1024
 ) -> DataFrame:
@@ -69,14 +82,9 @@ def hll_registers(
     state) — with ``outputMode("complete"/"update")`` the registers
     converge to exactly the batch sketch of everything seen, regardless
     of micro-batch boundaries (parity-pinned in tests/test_hll.py)."""
-    alpha_e6(m)  # validates m
-    digest = F.md5(F.col(key_col).cast("string"))
-    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint")
+    bucket, rho = hll_bucket_rho(F.col(key_col), m)
     return (
-        df.select(
-            F.pmod(h1, F.lit(m)).alias("bucket"), _rho(h2).alias("rho")
-        )
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("m_j"))
     )
