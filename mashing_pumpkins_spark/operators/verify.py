@@ -344,6 +344,28 @@ def verified_edges(
             # after all — one zero-shuffle pass, no prefilter phase
             return _broadcast_verify(pairs, sigs, tau)
     if n_act * prefilter_k * 8 <= broadcast_cap_bytes:
+        # Actual-bytes probe (round 8): maxsize is a config CAP, not the
+        # real row width — untruncated oracle configs carry maxsize 2^30
+        # while the real candidate slice is a few MB, and the maxsize
+        # bound above then forces the two-phase path whose exact phase
+        # sort-merge-joins the full signature table twice. The candidate
+        # url set is already small enough to broadcast ITS PREFIXES, so
+        # one tiny aggregate over the semi-joined slice (same scan the
+        # prefix collect pays anyway) measures the true bytes; when they
+        # fit the cap, verify is ONE zero-shuffle broadcast pass and the
+        # prefilter phase disappears. Never fires at production configs:
+        # there maxsize*8*n_act is the tight bound already checked.
+        if n_act * cfg.sketch.maxsize * 8 > broadcast_cap_bytes:
+            urls = pairs.select(
+                F.explode(F.array("url_a", "url_b")).alias("url")
+            ).distinct()
+            actual = (
+                sigs.join(urls, "url", "semi")
+                .agg(F.coalesce(F.sum(F.size("sig")), F.lit(0)).alias("s"))
+                .first()["s"]
+            )
+            if int(actual) * 8 <= broadcast_cap_bytes:
+                return _broadcast_verify(pairs, sigs, tau)
         survivors = _broadcast_prefilter(pairs, prefixes, pre_tau)
     else:
         pre = _join_sigs(pairs.select("url_a", "url_b"), prefixes)
