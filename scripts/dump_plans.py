@@ -205,12 +205,14 @@ def main() -> None:
             "Check: prefilter joins carry slice(sig,1,64) — 512B/side, not "
             "the full signature; the exact pass joins full sigs only for "
             "survivors; Jaccard runs in ArrowEvalPython (numpy), never "
-            "Catalyst array_intersect. (Round-8: when the candidate url "
-            "count keeps the prefix slice under the 48MB broadcast cap, "
-            "phase 1 instead runs as a broadcast dict + ONE mapInPandas "
-            "over the pair table — zero join shuffles; this dump forces the "
-            "join path with broadcast_cap_bytes=0 to audit the large-scale "
-            "shape.)",
+            "Catalyst array_intersect with a C sorted-merge kernel scoring "
+            "each Arrow batch (numpy fallback bit-identical). (Round-8: "
+            "when the candidate slice fits the 160MB broadcast cap — by "
+            "the maxsize bound, the counted url set, or the actual-bytes "
+            "probe for untruncated configs — verify instead runs as ONE "
+            "flat-buffer broadcast + mapInPandas pass with zero join "
+            "shuffles; this dump forces the join path with "
+            "broadcast_cap_bytes=0 to audit the large-scale shape.)",
         ),
         (
             "substring dedup (minimizer anchors)",
