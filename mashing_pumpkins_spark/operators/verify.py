@@ -126,8 +126,18 @@ def _join_sigs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     return pairs.join(sig_a, "url_a").join(sig_b, "url_b")
 
 
+def _candidate_urls(pairs: DataFrame) -> DataFrame:
+    """Distinct url set appearing in any candidate pair — the build side
+    of every dispatch count/probe/collect job. Callers that run several
+    of those jobs persist it once instead of re-deriving the
+    explode+distinct per job."""
+    return pairs.select(
+        F.explode(F.array("url_a", "url_b")).alias("url")
+    ).distinct()
+
+
 def _collect_slice_flat(
-    pairs: DataFrame, sigs: DataFrame
+    pairs: DataFrame, sigs: DataFrame, urls: DataFrame | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict, np.ndarray]:
     """Candidate-url signature slice as one flat layout: semi-join sigs to
     the urls appearing in any pair, collect ONCE via Arrow (toArrow — no
@@ -136,9 +146,8 @@ def _collect_slice_flat(
     (flat int64 values, starts, lens, url -> row index, violating rows).
     The flat layout is what gets broadcast: one ndarray + a str->int dict
     pickles far faster than a dict of 10^5 small ndarrays."""
-    urls = pairs.select(
-        F.explode(F.array("url_a", "url_b")).alias("url")
-    ).distinct()
+    if urls is None:
+        urls = _candidate_urls(pairs)
     tbl = sigs.join(urls, "url", "semi").toArrow().combine_chunks()
     n = tbl.num_rows
     if n == 0:
@@ -166,7 +175,11 @@ def _collect_slice_flat(
 
 
 def _broadcast_score(
-    pairs: DataFrame, sigs: DataFrame, threshold: float, emit_jaccard: bool
+    pairs: DataFrame,
+    sigs: DataFrame,
+    threshold: float,
+    emit_jaccard: bool,
+    urls: DataFrame | None = None,
 ) -> DataFrame:
     """Shared broadcast scoring pass: the signature slice rides to every
     task as a flat buffer, the pair table streams through ONE mapInPandas
@@ -183,7 +196,7 @@ def _broadcast_score(
     )
 
     spark = pairs.sparkSession
-    flat, starts, lens, idx, viol = _collect_slice_flat(pairs, sigs)
+    flat, starts, lens, idx, viol = _collect_slice_flat(pairs, sigs, urls)
     bc = spark.sparkContext.broadcast((flat, starts, lens, idx, set(viol.tolist())))
     fields = [StructField("url_a", StringType()), StructField("url_b", StringType())]
     if emit_jaccard:
@@ -247,7 +260,10 @@ def _broadcast_score(
 
 
 def _broadcast_prefilter(
-    pairs: DataFrame, prefixes: DataFrame, pre_tau: float
+    pairs: DataFrame,
+    prefixes: DataFrame,
+    pre_tau: float,
+    urls: DataFrame | None = None,
 ) -> DataFrame:
     """Phase-1 prefilter as a broadcast scan: the bottom-K prefix slice of
     the candidate urls is pulled to the driver and broadcast, and the pair
@@ -256,18 +272,21 @@ def _broadcast_prefilter(
     Pure physical change: the survivor predicate is the same float
     ``inter/union >= pre_tau`` the join path's _jaccard_udf computes, on
     the same prefix arrays."""
-    return _broadcast_score(pairs, prefixes, pre_tau, emit_jaccard=False)
+    return _broadcast_score(pairs, prefixes, pre_tau, emit_jaccard=False, urls=urls)
 
 
 def _broadcast_verify(
-    pairs: DataFrame, sigs: DataFrame, tau: float
+    pairs: DataFrame,
+    sigs: DataFrame,
+    tau: float,
+    urls: DataFrame | None = None,
 ) -> DataFrame:
     """Small-candidate-set physical strategy: semi-join signatures down to
     the urls that appear in any pair, pull that slice to the driver (Arrow)
     and broadcast it flat — the pair table then streams through one
     mapInPandas with ZERO join shuffles. The analog of a broadcast hash
     join where the build side is the candidate signature slice."""
-    return _broadcast_score(pairs, sigs, tau, emit_jaccard=True)
+    return _broadcast_score(pairs, sigs, tau, emit_jaccard=True, urls=urls)
 
 
 def verified_edges(
@@ -301,82 +320,91 @@ def verified_edges(
     prefilter_k = getattr(cfg, "prefilter_k", PREFILTER_K)
     sigs = signatures.select(F.col(url_col).alias("url"), "sig")
 
-    n_urls = (
-        n_candidate_urls
-        if n_candidate_urls is not None
-        else pairs.select(F.explode(F.array("url_a", "url_b")).alias("url"))
-        .distinct()
-        .count()
-    )
-    if n_urls * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
-        return _broadcast_verify(pairs, sigs, tau)
+    # The candidate-url set feeds up to three dispatch jobs (the count,
+    # the actual-bytes probe, the slice collect's semi-join build side) —
+    # persist it ONCE so the explode+distinct over the pair table doesn't
+    # re-run per job. Lazy: the pure-join path never materializes it, so
+    # the persist/unpersist is free there. Every eager consumer below runs
+    # before the function returns, so the unpersist is safe; the returned
+    # plan never references it.
+    from pyspark.storagelevel import StorageLevel
 
-    if cfg.sketch.maxsize <= prefilter_k:
-        # signatures already fit the prefilter width: one exact pass
-        joined = _join_sigs(pairs.select("url_a", "url_b"), sigs)
+    urls = _candidate_urls(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_urls = n_candidate_urls if n_candidate_urls is not None else urls.count()
+        if n_urls * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
+            return _broadcast_verify(pairs, sigs, tau, urls=urls)
+
+        if cfg.sketch.maxsize <= prefilter_k:
+            # signatures already fit the prefilter width: one exact pass
+            joined = _join_sigs(pairs.select("url_a", "url_b"), sigs)
+            return (
+                joined.withColumn(
+                    "jaccard", F.round(_jaccard_udf("sig_a", "sig_b"), 9)
+                )
+                .where(F.col("jaccard") >= tau)
+                .select("url_a", "url_b", "jaccard")
+            )
+
+        sigma = math.sqrt(tau * (1.0 - tau) / prefilter_k)
+        pre_tau = max(0.0, tau - 6.0 * sigma)
+        prefixes = sigs.select("url", F.slice("sig", 1, prefilter_k).alias("sig"))
+        # Phase-1 physical dispatch (round 8): the PREFIX slice is
+        # prefilter_k/maxsize the size of the full-signature slice, so it
+        # often fits the broadcast cap when the full slice does not. The
+        # n_candidate_urls manifest bound counts every pair endpoint
+        # twice-plus (dup pairs share urls), so when the bound alone fails
+        # the cap, spend ONE cheap count job on the narrow pair table to
+        # get the actual url count — it routinely unlocks a zero-shuffle
+        # phase 1 that replaces two sort-merge joins of the pair x prefix
+        # tables (and, when the actual count shows even the FULL slice
+        # fits, the single-pass broadcast verify).
+        n_act = n_urls
+        if (
+            n_act * prefilter_k * 8 > broadcast_cap_bytes
+            and n_candidate_urls is not None
+        ):
+            n_act = urls.count()
+            if n_act * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
+                # the bound was pessimistic: the full-signature slice fits
+                # after all — one zero-shuffle pass, no prefilter phase
+                return _broadcast_verify(pairs, sigs, tau, urls=urls)
+        if n_act * prefilter_k * 8 <= broadcast_cap_bytes:
+            # Actual-bytes probe (round 8): maxsize is a config CAP, not
+            # the real row width — untruncated oracle configs carry
+            # maxsize 2^30 while the real candidate slice is a few MB, and
+            # the maxsize bound above then forces the two-phase path whose
+            # exact phase sort-merge-joins the full signature table twice.
+            # The candidate url set is already small enough to broadcast
+            # ITS PREFIXES, so one tiny aggregate over the semi-joined
+            # slice (same scan the prefix collect pays anyway) measures
+            # the true bytes; when they fit the cap, verify is ONE
+            # zero-shuffle broadcast pass and the prefilter phase
+            # disappears. Never fires at production configs: there
+            # maxsize*8*n_act is the tight bound already checked.
+            if n_act * cfg.sketch.maxsize * 8 > broadcast_cap_bytes:
+                actual = (
+                    sigs.join(urls, "url", "semi")
+                    .agg(
+                        F.coalesce(F.sum(F.size("sig")), F.lit(0)).alias("s")
+                    )
+                    .first()["s"]
+                )
+                if int(actual) * 8 <= broadcast_cap_bytes:
+                    return _broadcast_verify(pairs, sigs, tau, urls=urls)
+            survivors = _broadcast_prefilter(pairs, prefixes, pre_tau, urls=urls)
+        else:
+            pre = _join_sigs(pairs.select("url_a", "url_b"), prefixes)
+            survivors = (
+                pre.withColumn("pj", _jaccard_udf("sig_a", "sig_b"))
+                .where(F.col("pj") >= pre_tau)
+                .select("url_a", "url_b")
+            )
+        exact = _join_sigs(survivors, sigs)
         return (
-            joined.withColumn("jaccard", F.round(_jaccard_udf("sig_a", "sig_b"), 9))
+            exact.withColumn("jaccard", F.round(_jaccard_udf("sig_a", "sig_b"), 9))
             .where(F.col("jaccard") >= tau)
             .select("url_a", "url_b", "jaccard")
         )
-
-    sigma = math.sqrt(tau * (1.0 - tau) / prefilter_k)
-    pre_tau = max(0.0, tau - 6.0 * sigma)
-    prefixes = sigs.select("url", F.slice("sig", 1, prefilter_k).alias("sig"))
-    # Phase-1 physical dispatch (round 8): the PREFIX slice is prefilter_k/
-    # maxsize the size of the full-signature slice, so it often fits the
-    # broadcast cap when the full slice does not. The n_candidate_urls
-    # manifest bound counts every pair endpoint twice-plus (dup pairs share
-    # urls), so when the bound alone fails the cap, spend ONE cheap count
-    # job on the narrow pair table to get the actual url count — it
-    # routinely unlocks a zero-shuffle phase 1 that replaces two sort-merge
-    # joins of the pair x prefix tables (and, when the actual count shows
-    # even the FULL slice fits, the single-pass broadcast verify).
-    n_act = n_urls
-    if n_act * prefilter_k * 8 > broadcast_cap_bytes and n_candidate_urls is not None:
-        n_act = (
-            pairs.select(F.explode(F.array("url_a", "url_b")).alias("url"))
-            .distinct()
-            .count()
-        )
-        if n_act * cfg.sketch.maxsize * 8 <= broadcast_cap_bytes:
-            # the bound was pessimistic: the full-signature slice fits
-            # after all — one zero-shuffle pass, no prefilter phase
-            return _broadcast_verify(pairs, sigs, tau)
-    if n_act * prefilter_k * 8 <= broadcast_cap_bytes:
-        # Actual-bytes probe (round 8): maxsize is a config CAP, not the
-        # real row width — untruncated oracle configs carry maxsize 2^30
-        # while the real candidate slice is a few MB, and the maxsize
-        # bound above then forces the two-phase path whose exact phase
-        # sort-merge-joins the full signature table twice. The candidate
-        # url set is already small enough to broadcast ITS PREFIXES, so
-        # one tiny aggregate over the semi-joined slice (same scan the
-        # prefix collect pays anyway) measures the true bytes; when they
-        # fit the cap, verify is ONE zero-shuffle broadcast pass and the
-        # prefilter phase disappears. Never fires at production configs:
-        # there maxsize*8*n_act is the tight bound already checked.
-        if n_act * cfg.sketch.maxsize * 8 > broadcast_cap_bytes:
-            urls = pairs.select(
-                F.explode(F.array("url_a", "url_b")).alias("url")
-            ).distinct()
-            actual = (
-                sigs.join(urls, "url", "semi")
-                .agg(F.coalesce(F.sum(F.size("sig")), F.lit(0)).alias("s"))
-                .first()["s"]
-            )
-            if int(actual) * 8 <= broadcast_cap_bytes:
-                return _broadcast_verify(pairs, sigs, tau)
-        survivors = _broadcast_prefilter(pairs, prefixes, pre_tau)
-    else:
-        pre = _join_sigs(pairs.select("url_a", "url_b"), prefixes)
-        survivors = (
-            pre.withColumn("pj", _jaccard_udf("sig_a", "sig_b"))
-            .where(F.col("pj") >= pre_tau)
-            .select("url_a", "url_b")
-        )
-    exact = _join_sigs(survivors, sigs)
-    return (
-        exact.withColumn("jaccard", F.round(_jaccard_udf("sig_a", "sig_b"), 9))
-        .where(F.col("jaccard") >= tau)
-        .select("url_a", "url_b", "jaccard")
-    )
+    finally:
+        urls.unpersist()
