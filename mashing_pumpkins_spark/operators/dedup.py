@@ -164,20 +164,36 @@ def word_ngram_jaccard_pairs(
     capped = dp.withColumn("df", F.count("*").over(wdf)).where(
         F.col("df") <= 1000
     )
-    by_g = capped.groupBy("g").agg(F.collect_list("id").alias("ids"))
-    sizes = capped.groupBy("id").agg(F.count("*").alias("sz"))
+    # Per-doc capped-gram count rides WITH the id through the pairing as
+    # a struct (a second window, id-keyed), so the jaccard needs NO join
+    # at all. The previous form joined the pair-count table against a
+    # per-doc sizes table twice — and the pair table's row count is
+    # UNBOUNDED (every doc pair sharing >= 1 gram; O(n^2) on
+    # duplicate-heavy corpora) while Catalyst's post-aggregate size
+    # estimate reads tiny, so the static planner chose to BROADCAST the
+    # pair side and a 10x dup-heavy probe corpus OOMed the build. With
+    # the size carried inline there is no join to misplan: the only
+    # pair-scale operation left is the count aggregate itself.
+    wid = Window.partitionBy("id")
+    sized = capped.withColumn("sz", F.count("*").over(wid))
+    by_g = sized.groupBy("g").agg(
+        F.collect_list(F.struct("id", "sz")).alias("ids")
+    )
     inter = (
         by_g.where(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
         .agg(F.count("*").alias("i"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(

@@ -121,9 +121,15 @@ def _jaccard_udf(
 
 
 def _join_sigs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    # merge hint: this path only runs when the dispatch has already ruled
+    # out a broadcastable slice, so both sides are large — but the pair
+    # table's post-aggregate size ESTIMATE can read tiny, and a
+    # statically-planned broadcast of an unbounded pair table is exactly
+    # the word_ngram OOM class (operators/dedup.py round-8 note). Pin the
+    # scale-safe sort-merge strategy.
     sig_a = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
-    return pairs.join(sig_a, "url_a").join(sig_b, "url_b")
+    return pairs.hint("merge").join(sig_a, "url_a").join(sig_b, "url_b")
 
 
 def _candidate_urls(pairs: DataFrame) -> DataFrame:

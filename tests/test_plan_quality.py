@@ -55,6 +55,56 @@ def test_band_pairing_is_bucket_keyed_and_memory_bounded(plan_frames):
     assert "Exchange" not in plan[agg_pos:win_pos]
 
 
+def test_word_ngram_jaccard_plan_has_no_joins(spark):
+    """The pair-count table is UNBOUNDED (O(n^2) on duplicate-heavy
+    corpora) while Catalyst's post-aggregate size estimate reads tiny —
+    the round-8 join-shaped chain got its pair side BROADCAST by the
+    static planner and OOMed on a 10x dup-heavy probe. The fixed chain
+    carries the per-doc size through the pairing as a struct, so the
+    plan must contain NO join (and therefore no broadcast decision to
+    misplan); values are pinned by the brute-force check below and the
+    driver's SQL oracle."""
+    import pandas as pd
+
+    from mashing_pumpkins_spark.operators.dedup import word_ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text with no overlap here at all",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "another unrelated document body entirely",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = word_ngram_jaccard_pairs(docs, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+    # brute-force value reference (distinct word 3-gram sets, df cap
+    # irrelevant at 5 docs)
+    def gset(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    import itertools
+
+    expected = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        ga, gb = gset(texts[a]), gset(texts[b])
+        inter = len(ga & gb)
+        if inter:
+            j = round(inter / len(ga | gb), 6)
+            if j >= 0.3:
+                expected.append((a, b, j))
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()
+    )
+    assert got == sorted(expected), (got, expected)
+
+
 def test_substring_dedup_plan_is_equi_join(spark):
     """Anchor matching must be a hash/SMJ equi-join on anchor_hash — never
     a cartesian/BNLJ over documents or anchors."""
